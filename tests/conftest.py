@@ -1,0 +1,28 @@
+"""Test config: run everything on a simulated 8-device CPU mesh.
+
+Mirrors the reference's validation philosophy (SIMD vs scalar golden on
+one machine, test/validate/*) with the TPU twist: sharded-op tests use
+XLA's host-platform device simulation instead of a real pod.
+"""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags += " --xla_force_host_platform_device_count=8"
+# IEEE-exact fp on the CPU backend so deterministic-mode quantization is
+# bit-exact against the NumPy golden (XLA CPU fast-math turns f32 division
+# into a 1-ulp-off reciprocal multiply).
+if "xla_cpu_enable_fast_math" not in flags:
+    flags += " --xla_cpu_enable_fast_math=false"
+os.environ["XLA_FLAGS"] = flags.strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(445560390295639063 % (2**32))
