@@ -1,0 +1,108 @@
+"""Quantized GD and IHT solvers.
+
+Reference: Q_GD / Q_IHT iteration loops (test/performance/01_measure.h:912-946
+and :1001-1023), accuracy-tracing variants (test/accuracy/02_iht_accuracy.h:
+30-96, 03_gd_accuracy.h:30-87).
+
+TPU-native design: one ``lax.scan`` per solve — the whole iteration
+(two fused MVMs, two scaleAndAdds, a top-K) is a single compiled program;
+the reference's five OpenMP fork-joins per iteration become zero launches.
+Stochastic-rounding keys are threaded through the scan carry; ``key=None``
+runs fully deterministic (the reference's SR-disabled build).
+
+The per-iteration update (IHT; GD omits the threshold):
+    t1 = Phi  @ x        (fused requantized MVM)
+    t2 = y - t1          (blockwise requantized AXPY)
+    t3 = PhiT @ t2
+    x  = x + mu * t3
+    x  = top_k(x, K)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..formats import QVec16, QVec32, zeros_vector
+from ..ops import mvm, restore_vec, scale_and_add, threshold
+from ..ops.quantize import quantize_vec
+
+
+class SolveResult(NamedTuple):
+    x: object            # quantized solution container
+    trace: jax.Array     # f32[iterations] — per-iteration ||x-x*||/||x*||
+                         # (all zeros when no x_star was given)
+
+
+def _vec_bits(qvec) -> int:
+    return qvec.bits
+
+
+def _split4(key):
+    if key is None:
+        return (None,) * 5
+    return tuple(jax.random.split(key, 5))
+
+
+def _iteration(Phi, PhiT, y, x, mu, k, key):
+    k1, k2, k3, k4, _ = _split4(key)
+    t1 = mvm(Phi, x, key=k1)                     # t1 = Phi x
+    t2 = scale_and_add(y, t1, -1.0, key=k2)      # t2 = y - t1
+    t3 = mvm(PhiT, t2, key=k3)                   # t3 = Phi' t2
+    x = scale_and_add(x, t3, mu, key=k4)         # x += mu t3
+    if k is not None:
+        x = threshold(x, k)
+    return x
+
+
+@partial(jax.jit, static_argnames=("iterations", "k"))
+def _solve(Phi, PhiT, y, x0, x_star, iterations: int, k, mu, key):
+    xs32 = x_star.values if x_star is not None else None
+    xs_norm = (jnp.linalg.norm(xs32) if xs32 is not None else None)
+
+    def body(carry, _):
+        x, key = carry
+        sub = None
+        if key is not None:
+            key, sub = jax.random.split(key)
+        x = _iteration(Phi, PhiT, y, x, mu, k, sub)
+        if xs32 is not None:
+            err = jnp.linalg.norm(restore_vec(x).values - xs32) / xs_norm
+        else:
+            err = jnp.float32(0)
+        return (x, key), err
+
+    (x, _), trace = jax.lax.scan(body, (x0, key), None, length=iterations)
+    return SolveResult(x=x, trace=trace)
+
+
+def iht(Phi, PhiT, y, iterations: int, k: int, mu: float,
+        key=None, x_star=None) -> SolveResult:
+    """Quantized Iterative Hard Thresholding (compressive-sensing recovery).
+
+    ``Phi``/``PhiT`` are quantized matrices (PhiT materialized up front,
+    as the reference does at 02_iht_accuracy.h:72); ``y`` a quantized
+    vector of observations.  ``x_star`` (QVec32, optional) enables the
+    per-iteration relative-error trace of the accuracy protocol.
+    """
+    x0 = _initial_x(Phi, y)
+    return _solve(Phi, PhiT, y, x0, x_star, iterations, int(k),
+                  jnp.float32(mu), key)
+
+
+def gd(Phi, PhiT, y, iterations: int, mu: float,
+       key=None, x_star=None) -> SolveResult:
+    """Quantized gradient descent on least squares ||y - Phi x||^2."""
+    x0 = _initial_x(Phi, y)
+    return _solve(Phi, PhiT, y, x0, x_star, iterations, None,
+                  jnp.float32(mu), key)
+
+
+def _initial_x(Phi, y):
+    """x starts cleared (reference: x.clear(), 01_measure.h:938) at the
+    precision the update loop keeps it in: the output precision of
+    PhiT @ t2 — y's precision for pure configs, 8-bit for mixed 4x8."""
+    return zeros_vector(_vec_bits(y), Phi.cols)

@@ -7,8 +7,11 @@ XLA's host-platform device simulation instead of a real pod.
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends.  Forced (not
+# setdefault): the shell env pins JAX_PLATFORMS=axon (the tunneled TPU),
+# but the test suite needs the 8-device CPU simulation.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_INTERPRET"] = "1"  # pallas kernels interpret on CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
@@ -18,6 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
 if "xla_cpu_enable_fast_math" not in flags:
     flags += " --xla_cpu_enable_fast_math=false"
 os.environ["XLA_FLAGS"] = flags.strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin in this image overrides JAX_PLATFORMS from the env;
+# the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
