@@ -1,23 +1,21 @@
-"""Headline benchmark: 4-bit fused MVM bandwidth as % of HBM roofline at
-n=16K, plus fp32-relative speedup and IHT iterations/sec.
+"""Headline benchmark: 4-bit fused-requant MVM bandwidth as % of HBM
+roofline at n=16K (the reference's headline: parallel 4-bit MVM sustains
+~83% of its 25.6 GB/s DRAM roofline and 8.0-8.2x over fp32,
+doc/results/performance.txt:427-452).
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-
-Baseline (reference, BASELINE.md): parallel 4-bit MVM sustains ~83% of the
-Xeon's 25.6 GB/s DRAM roofline and 8.03-8.23x over fp32 at large n.
 vs_baseline = (our % of HBM roofline) / 83.
 
 Timing methodology: the axon TPU tunnel does not block on
 block_until_ready, so every measurement forces a scalar device->host
-fetch and differences two dependent-chain lengths (K2 - K1 iterations)
-to cancel the ~30 ms round-trip (see .claude/skills/verify/SKILL.md).
+fetch and differences two dependent-chain lengths (K2 - K1 iterations of
+y <- mvm(A, y)) to cancel the ~30 ms round-trip.
 """
 
 import json
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -29,49 +27,67 @@ import jax.numpy as jnp
 import clover_tpu as ct
 
 N = 16384
-K1, K2 = 1, 9
-REPS = 5
+K1, K2 = 1, 129
+REPS = 7
 
-# TPU v5e (v5 lite) HBM bandwidth.
+# TPU v5e HBM bandwidth (spec), the analog of the Xeon's 25.6 GB/s.
 HBM_ROOFLINE = 819e9
 REF_PCT_OF_ROOFLINE = 83.0
 REF_SPEEDUP_VS_FP32 = 8.13  # midpoint of the reference's 8.03-8.23x
 
 
-def _chain_time(fn, *args):
-    """Median time of one op in a dependent chain, via K2-K1 differencing."""
-    f1 = jax.jit(partial(fn, iters=K1), static_argnames=())
-    f2 = jax.jit(partial(fn, iters=K2), static_argnames=())
-    float(f1(*args))  # compile + warm
-    float(f2(*args))
-
-    def timed(f):
-        ts = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            float(f(*args))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    return (timed(f2) - timed(f1)) / (K2 - K1)
+def _median_time(g, *args):
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(g(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
-def bench_mvm_4bit(qA, qx):
-    def chain(qA, qx, iters):
-        def body(i, x):
-            return ct.mvm(qA, x)          # 4-bit in, 4-bit out
-        x = jax.lax.fori_loop(0, iters, body, qx)
-        return jnp.sum(x.scales)          # force full execution
-    return _chain_time(chain, qA, qx)
+def bench_mvm_chain(qA, qx, sr: bool):
+    """Per-op time of y <- mvm(A, y) in a dependent chain."""
+    def make(iters):
+        if sr:
+            @jax.jit
+            def g(qA, qx, key):
+                def body(i, carry):
+                    x, key = carry
+                    key, sub = jax.random.split(key)
+                    return (ct.mvm(qA, x, key=sub), key)
+                x, _ = jax.lax.fori_loop(0, iters, body, (qx, key))
+                return jnp.sum(x.scales)
+            return lambda: _median_time(g, qA, qx, jax.random.PRNGKey(0)), g
+        @jax.jit
+        def g(qA, qx):
+            def body(i, x):
+                return ct.mvm(qA, x)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, qx).scales)
+        return lambda: _median_time(g, qA, qx), g
+
+    t1f, g1 = make(K1)
+    t2f, g2 = make(K2)
+    # compile + warm
+    if sr:
+        float(g1(qA, qx, jax.random.PRNGKey(0)))
+        float(g2(qA, qx, jax.random.PRNGKey(0)))
+    else:
+        float(g1(qA, qx)); float(g2(qA, qx))
+    return (t2f() - t1f()) / (K2 - K1)
 
 
 def bench_mvm_fp32(A, x):
-    def chain(A, x, iters):
-        def body(i, v):
-            y = A @ v
-            return y / (jnp.max(jnp.abs(y)) + 1e-30)
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
-    return _chain_time(chain, A, x)
+    def make(iters):
+        @jax.jit
+        def g(A, x):
+            def body(i, v):
+                y = A @ v
+                return y / (jnp.max(jnp.abs(y)) + 1e-30)
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+        return g
+    g1, g2 = make(K1), make(K2)
+    float(g1(A, x)); float(g2(A, x))
+    return (_median_time(g2, A, x) - _median_time(g1, A, x)) / (K2 - K1)
 
 
 def bench_iht_iters_per_sec(qphi, qphit, qy, k, mu, key):
@@ -84,12 +100,11 @@ def bench_iht_iters_per_sec(qphi, qphit, qy, k, mu, key):
                      jnp.float32(mu), key)
         return float(jnp.sum(res.x.scales))
 
-    # wide iteration spread so the ~30ms tunnel round-trip noise cancels
     for it in (2, 102):
         run(it)  # compile
     def timed(it):
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             run(it)
             ts.append(time.perf_counter() - t0)
@@ -103,14 +118,19 @@ def main():
     A = (rng.random((N, N), dtype=np.float32) * 2 - 1)
     x = (rng.random(N, dtype=np.float32) * 2 - 1)
 
-    qA = ct.quantize(jnp.asarray(A), 4)
-    qx = ct.quantize(jnp.asarray(x), 4)
-    qA = jax.device_put(qA)
+    qA4 = ct.quantize(jnp.asarray(A), 4)
+    qx4 = ct.quantize(jnp.asarray(x), 4)
+    qA8 = ct.quantize(jnp.asarray(A), 8)
+    qx8 = ct.quantize(jnp.asarray(x), 8)
 
-    t4 = bench_mvm_4bit(qA, qx)
-    bytes_4 = qA.nbytes  # packed codes + tile scales (vector negligible)
-    gbs_4 = bytes_4 / t4 / 1e9
-    pct = 100.0 * gbs_4 * 1e9 / HBM_ROOFLINE
+    t4_sr = bench_mvm_chain(qA4, qx4, sr=True)
+    t4_det = bench_mvm_chain(qA4, qx4, sr=False)
+    t4 = min(t4_sr, t4_det) if t4_sr > 0 else t4_det
+    t48 = bench_mvm_chain(qA4, qx8, sr=False)
+    t8 = bench_mvm_chain(qA8, qx8, sr=False)
+
+    gbs = lambda nbytes, t: nbytes / t / 1e9
+    pct = 100.0 * gbs(qA4.nbytes, t4_sr if t4_sr > 0 else t4_det) * 1e9 / HBM_ROOFLINE
 
     t32 = bench_mvm_fp32(jnp.asarray(A), jnp.asarray(x))
     speedup = t32 / t4
@@ -131,8 +151,11 @@ def main():
         "unit": "% of 819 GB/s",
         "vs_baseline": round(pct / REF_PCT_OF_ROOFLINE, 3),
         "detail": {
-            "mvm4_gbs": round(gbs_4, 1),
-            "mvm4_ms": round(t4 * 1e3, 3),
+            "mvm4_sr_ms": round(t4_sr * 1e3, 3),
+            "mvm4_det_ms": round(t4_det * 1e3, 3),
+            "mvm4_gbs": round(gbs(qA4.nbytes, t4), 1),
+            "mvm4x8_gbs": round(gbs(qA4.nbytes, t48), 1),
+            "mvm8_gbs": round(gbs(qA8.nbytes, t8), 1),
             "fp32_mvm_ms": round(t32 * 1e3, 3),
             "speedup_vs_fp32": round(speedup, 2),
             "ref_speedup_vs_fp32": REF_SPEEDUP_VS_FP32,

@@ -8,10 +8,15 @@ include/CloverMatrix8.h:40-75) with layouts chosen for TPU, not AVX2:
 * 4-bit codes are two's-complement values in [-7, 7], two per byte — but
   packed *deinterleaved per 64-element block*: byte ``j`` of a block holds
   element ``j`` in the low nibble and element ``j + 32`` in the high nibble.
-  Unpacking is then three int8 shifts plus a concatenation along the lane
-  axis — no cross-lane interleave is ever required on the VPU.  (The
-  reference packs adjacent pairs and needs an 8x8 register transpose,
+  No cross-lane interleave is ever required on the VPU.  (The reference
+  packs adjacent pairs and needs an 8x8 register transpose,
   CloverVector4.h:777-805; that design is AVX2-specific.)
+* The low nibble is stored *biased by +8* (``lo + 8`` in [1, 15]); the high
+  nibble is plain two's complement.  A packed byte therefore equals
+  ``16*hi + (lo+8)`` exactly as a signed int8, which lets the fused MVM
+  kernel consume packed bytes DIRECTLY on the MXU (one int8 mask + two
+  int8 matmuls recover the exact blocked integer dot — see
+  clover_tpu/kernels/mvm.py), where Mosaic has no int8 shift/sub ops.
 * One fp32 scale per 64-element block (vectors) or per 64x64 tile
   (matrices), scale = block absmax, zero blocks normalized to scale 1.0
   (reference: CloverVector4.h:661-663).
@@ -59,7 +64,9 @@ def pack_nibbles(codes: jax.Array) -> jax.Array:
 
     ``codes`` has shape ``(..., L)`` with ``L`` a multiple of 64.  Returns
     int8 of shape ``(..., L // 2)``.  Byte ``32*b + j`` holds element
-    ``64*b + j`` (low nibble) and ``64*b + j + 32`` (high nibble).
+    ``64*b + j`` biased by +8 in the low nibble and element
+    ``64*b + j + 32`` two's-complement in the high nibble, so the byte's
+    signed int8 value is exactly ``16*hi + (lo + 8)``.
     """
     *lead, L = codes.shape
     assert L % BLOCK == 0, f"length {L} not a multiple of {BLOCK}"
@@ -67,7 +74,7 @@ def pack_nibbles(codes: jax.Array) -> jax.Array:
     lo = c[..., : BLOCK // 2]
     hi = c[..., BLOCK // 2:]
     packed = jnp.bitwise_or(
-        jnp.bitwise_and(lo, jnp.int8(0x0F)),
+        jnp.bitwise_and((lo + jnp.int8(8)).astype(jnp.int8), jnp.int8(0x0F)),
         jnp.left_shift(hi, 4).astype(jnp.int8),
     )
     return packed.reshape(*lead, L // 2)
@@ -78,9 +85,8 @@ def unpack_nibbles(packed: jax.Array) -> jax.Array:
     *lead, K = packed.shape
     assert K % (BLOCK // 2) == 0
     p = packed.reshape(*lead, K // (BLOCK // 2), BLOCK // 2)
-    # Arithmetic shifts sign-extend the nibbles.
-    hi = jnp.right_shift(p, 4)
-    lo = jnp.right_shift(jnp.left_shift(p, 4).astype(jnp.int8), 4)
+    hi = jnp.right_shift(p, 4)          # arithmetic: sign-extends
+    lo = (jnp.bitwise_and(p, jnp.int8(0x0F)) - jnp.int8(8)).astype(jnp.int8)
     return jnp.concatenate([lo, hi], axis=-1).reshape(*lead, 2 * K)
 
 
@@ -314,8 +320,9 @@ def zeros_vector(bits: int, length: int) -> "QVec4 | QVec8 | QVec16 | QVec32":
     reference: CloverVector4.h:86-94)."""
     npad = pad_to(length)
     if bits == 4:
+        # NB: the zero CODE packs to byte 0x08 (biased low nibble).
         return QVec4(
-            codes=jnp.zeros((npad // 2,), jnp.int8),
+            codes=jnp.full((npad // 2,), 0x08, jnp.int8),
             scales=jnp.ones((npad // BLOCK,), jnp.float32),
             length=length,
         )

@@ -71,7 +71,14 @@ def mvm(A, x, key=None):
 
     Output precision follows the reference dispatch table:
     (4,4)->4, (8,8)->8, (4,8)->8, (16,16)->16, (*,32)->32, (32,32)->32.
+
+    On TPU the quantized-int combinations run as a single fused Pallas
+    kernel (clover_tpu/kernels/mvm.py); everywhere else (and for fp
+    precisions) the portable XLA path below is used.
     """
+    from ..kernels import mvm_pallas, mvm_pallas_eligible, pallas_enabled
+    if pallas_enabled() and mvm_pallas_eligible(A, x):
+        return mvm_pallas(A, x, key)
     y32 = mvm_f32(A, x)
     out_bits = _out_bits(A, x)
     return _requant_output(y32, A.rows, out_bits, key)

@@ -49,8 +49,11 @@ def test_deinterleaved_layout():
     codes[32] = -5     # block 0, elem 32 -> byte 0 hi
     codes[64 + 1] = 7  # block 1, elem 1 -> byte 33 lo
     packed = np.asarray(pack_nibbles(jnp.asarray(codes)))
-    assert packed[0] == ((-5 << 4) | 3) - 256 * (((-5 << 4) | 3) > 127)
-    assert (packed[33] & 0x0F) == 7
+    # biased low nibble: byte == 16*hi + (lo + 8) exactly as signed int8
+    assert packed[0] == 16 * (-5) + (3 + 8)
+    assert (packed[33] & 0x0F) == 7 + 8
+    # a zero code pair packs to 0x08
+    assert packed[1] == 0x08
 
 
 def test_zeros_vector_invariants():
@@ -60,7 +63,10 @@ def test_zeros_vector_invariants():
         assert v.length_pad == 256
         if bits in (4, 8):
             assert np.all(np.asarray(v.scales) == 1.0)
-            assert np.all(np.asarray(v.codes) == 0)
+            zero_byte = 0x08 if bits == 4 else 0  # biased low nibble
+            assert np.all(np.asarray(v.codes) == zero_byte)
+            from clover_tpu import restore
+            assert np.all(np.asarray(restore(v).values) == 0.0)
 
 
 def test_containers_are_pytrees():

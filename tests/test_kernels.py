@@ -1,0 +1,108 @@
+"""Pallas kernel numerics vs the golden oracle (interpret mode on CPU).
+
+Mirrors the reference's SIMD-vs-scalar validation (test/validate/
+03_matrix.cpp:247-320): the fused kernel must reproduce the golden
+blocked-integer MVM semantics.  The integer accumulation is exact by
+construction; only the f32 scale-combine order differs (per-k-tile tree
+vs fully sequential), so the pre-requant comparison uses a tight relative
+tolerance and the post-requant comparison allows 1 output LSB.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import clover_tpu as ct
+from clover_tpu import golden
+from clover_tpu.formats import BLOCK, QVec4, QVec8, unpack_nibbles
+from clover_tpu.kernels.mvm import mvm_pallas, mvm_pallas_eligible
+
+
+def _mk(rng, m, n, bits_a, bits_x):
+    A = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+    x = (rng.random(n, dtype=np.float32) * 2 - 1)
+    qA = ct.quantize(jnp.asarray(A), bits_a)
+    qx = ct.quantize(jnp.asarray(x), bits_x)
+    return qA, qx
+
+
+def _golden_f32(qA, qx):
+    """Exact pre-requant f32 result from the oracle."""
+    a_codes = np.asarray(unpack_nibbles(qA.codes) if qA.bits == 4
+                         else qA.codes)
+    x_codes = np.asarray(unpack_nibbles(qx.codes) if qx.bits == 4
+                         else qx.codes)
+    qa = 7.0 if qA.bits == 4 else 127.0
+    qx_ = 7.0 if qx.bits == 4 else 127.0
+    m, n = a_codes.shape
+    nb = n // BLOCK
+    a3 = a_codes.astype(np.int64).reshape(m, nb, BLOCK)
+    x2 = x_codes.astype(np.int64).reshape(nb, BLOCK)
+    acc = np.einsum("ibk,bk->ib", a3, x2)
+    comb = (np.repeat(np.asarray(qA.scales), BLOCK, axis=0) / qa
+            * (np.asarray(qx.scales) / qx_)[None, :])
+    return (comb * acc.astype(np.float64)).sum(1).astype(np.float32)
+
+
+CONFIGS = [(4, 4), (4, 8), (8, 8)]
+SIZES = [(128, 128), (256, 384), (512, 1024), (192, 256)]
+
+
+@pytest.mark.parametrize("bits_a,bits_x", CONFIGS)
+@pytest.mark.parametrize("m,n", SIZES)
+def test_mvm_kernel_deterministic(rng, bits_a, bits_x, m, n):
+    qA, qx = _mk(rng, m, n, bits_a, bits_x)
+    assert mvm_pallas_eligible(qA, qx)
+    out = mvm_pallas(qA, qx, key=None)
+    y_ref = _golden_f32(qA, qx)
+
+    # requantized output: deterministic truncation, <= 1 LSB from y_ref
+    y_hat = np.asarray(ct.restore(out).values)[:m]
+    lsb = np.repeat(np.asarray(out.scales),
+                    BLOCK)[:m] / (7.0 if out.bits == 4 else 127.0)
+    err = np.abs(y_hat - y_ref[:m])
+    # 1 LSB + slack for f32 combine-order differences
+    assert np.all(err <= lsb * (1 + 1e-3) + 1e-4), float((err / lsb).max())
+
+
+@pytest.mark.parametrize("bits_a,bits_x", CONFIGS)
+def test_mvm_kernel_matches_xla_scales(rng, bits_a, bits_x):
+    """Output band scales must match the XLA path's band absmax closely."""
+    from clover_tpu.ops.mvm import mvm_f32
+    qA, qx = _mk(rng, 256, 512, bits_a, bits_x)
+    out = mvm_pallas(qA, qx, key=None)
+    y32 = np.asarray(mvm_f32(qA, qx))
+    s_ref = np.abs(y32).reshape(-1, BLOCK).max(1)
+    s_ref = np.where(s_ref == 0, 1.0, s_ref)
+    np.testing.assert_allclose(np.asarray(out.scales), s_ref, rtol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu PRNG has no interpret-mode implementation")
+def test_mvm_kernel_sr_statistics(rng):
+    """With SR on, codes round both ways and the mean error is small."""
+    qA, qx = _mk(rng, 256, 512, 4, 4)
+    y_ref = _golden_f32(qA, qx)
+    outs = []
+    for s in range(8):
+        out = mvm_pallas(qA, qx, key=jax.random.PRNGKey(s))
+        outs.append(np.asarray(ct.restore(out).values))
+    mean = np.mean(outs, axis=0)
+    lsb = np.repeat(np.asarray(out.scales), BLOCK) / 7.0
+    # SR is unbiased: averaging 8 draws must beat worst-case truncation
+    assert np.all(np.abs(mean - y_ref) <= lsb)
+    # and draws must actually differ (stochastic)
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+
+
+def test_mvm_kernel_output_container_shape(rng):
+    qA, qx = _mk(rng, 192, 256, 4, 4)
+    out = mvm_pallas(qA, qx)
+    assert isinstance(out, QVec4)
+    assert out.length == 192
+    assert out.codes.shape == (ct.pad_to(192) // 2,)
+    qA8, qx8 = _mk(rng, 192, 256, 4, 8)
+    out8 = mvm_pallas(qA8, qx8)
+    assert isinstance(out8, QVec8)
+    assert out8.codes.shape == (ct.pad_to(192),)
