@@ -6,6 +6,30 @@ import os
 from functools import lru_cache
 
 import jax
+import jax.numpy as jnp
+
+# Large odd constants for deriving per-op SR seed streams by integer
+# arithmetic (no threefry on the critical path).
+SEED_GOLD = -1640531527           # 0x9E3779B9 as int32 (golden-ratio mix)
+SEED_OP = 40503                   # per-op stride within an iteration
+
+
+def seed_from(key):
+    """Normalize an SR randomness argument to (int32[1] seed, noise_flag).
+
+    Accepts: None (deterministic), a Python int, an int32 scalar/(1,)
+    array (cheap carried seed — the solver hot path), or a JAX PRNG key
+    (one threefry draw to derive the seed).
+    """
+    if key is None:
+        return jnp.zeros((1,), jnp.int32), False
+    if isinstance(key, int):
+        return jnp.asarray([key], jnp.int32), True
+    arr = jnp.asarray(key)
+    if arr.dtype == jnp.int32:
+        return arr.reshape(1), True
+    return jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (1,), jnp.uint32), jnp.int32), True
 
 
 def pallas_interpret() -> bool:

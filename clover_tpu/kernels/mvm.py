@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats import (
     BLOCK, QMat4, QMat8, QVec4, QVec8, unpack_nibbles,
 )
-from .dispatch import pallas_interpret
+from .dispatch import pallas_interpret, seed_from
 
 QMAX = {4: 7.0, 8: 127.0}
 HALF = BLOCK // 2
@@ -60,29 +60,39 @@ _TK_MAX_SINGLE = 8192           # use TK = n_pad when n_pad <= this
 _TK_CHOICES = (8192, 4096, 2048, 1024, 512)
 
 
-def _pick_tm(m_pad: int) -> int:
-    import os
-    env = os.environ.get("CLOVER_MVM_TM")
-    choices = (int(env),) + _TM_CHOICES if env else _TM_CHOICES
-    for tm in choices:
-        if m_pad % tm == 0:
-            return tm
-    raise AssertionError(m_pad)
+def _pick_geometry(m_pad: int, n_pad: int, mode: str):
+    """Choose (TM, TK) under VMEM budgets.
 
-
-def _pick_tk(n_pad: int) -> int | None:
+    Budgets: A tile (TM x TK/pack) <= 4 MB double-buffered; the in-VMEM
+    block-diagonal weight cache (built once per k on the first row sweep,
+    reused for every other row tile) <= ~4 MB total.
+    """
     import os
-    env = os.environ.get("CLOVER_MVM_TK")
-    if env and n_pad % int(env) == 0:
-        tk = int(env)
-        if tk % 256 == 0 or tk == n_pad:
-            return tk
+    pack = 2 if mode in ("4x4", "4x8") else 1
+    env_tm = os.environ.get("CLOVER_MVM_TM")
+    tm_choices = ((int(env_tm),) if env_tm else ()) + (1024, 512, 256, 128)
+    tm = next((t for t in tm_choices if m_pad % t == 0), None)
+    if tm is None:
+        return None
+
+    def ok(tk):
+        if n_pad % tk or (tk % 256 and tk != n_pad):
+            return False
+        if tm * tk // pack > (4 << 20):          # A tile
+            return False
+        if n_pad * tk // 64 > (4 << 20):         # W scratch cache
+            return False
+        return True
+
+    env_tk = os.environ.get("CLOVER_MVM_TK")
+    tk_choices = ((int(env_tk),) if env_tk else ())
     if n_pad <= _TK_MAX_SINGLE:
-        return n_pad                      # PB == full dim: always legal
-    for tk in _TK_CHOICES:                # PB % 128 == 0: always legal
-        if n_pad % tk == 0:
-            return tk
-    return None
+        tk_choices += (n_pad,)
+    tk_choices += _TK_CHOICES
+    tk = next((t for t in tk_choices if ok(t)), None)
+    if tk is None:
+        return None
+    return tm, tk
 
 
 def _mode(A, x) -> str | None:
@@ -96,9 +106,10 @@ def _mode(A, x) -> str | None:
 
 
 def mvm_pallas_eligible(A, x) -> bool:
-    if _mode(A, x) is None:
+    mode = _mode(A, x)
+    if mode is None:
         return False
-    return _pick_tk(A.cols_pad) is not None
+    return _pick_geometry(A.rows_pad, A.cols_pad, mode) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -152,9 +163,16 @@ def _requant_write(seed_ref, ycodes_ref, yscales_ref, y2, out_bits, noise, i):
     yscales_ref[0] = s
 
 
-def _combe(ascales_ref, xscales_ref, scale_const: float):
-    """(TM/64, NB) x (NB,) tile scales -> f32[TM, NB] per-element combine."""
-    c = ascales_ref[0, 0] * xscales_ref[0] * scale_const   # (TM/64,nb)*(1,nb)
+def _combe(ascales_ref, xscales_ref, scale_const: float, flat: bool):
+    """(TM/64, NB) x (1, NB) tile scales -> f32[TM, NB] per-element combine.
+
+    ``flat``: scales arrive as plain 2-D arrays block-indexed by (i, k)
+    (legal when NB % 128 == 0 or gk == 1 — zero host-side prep);
+    otherwise as the 4-D/3-D pre-tiled layouts.
+    """
+    asc = ascales_ref[:] if flat else ascales_ref[0, 0]
+    xs = xscales_ref[:] if flat else xscales_ref[0]
+    c = asc * xs * scale_const                       # (TM/64,nb)*(1,nb)
     return jnp.repeat(c, BLOCK, axis=0)
 
 
@@ -162,10 +180,12 @@ def _combe(ascales_ref, xscales_ref, scale_const: float):
 # Kernel bodies (one per precision mode)
 # ---------------------------------------------------------------------------
 
-def _kernel_4x8(seed_ref, a_ref, xhi_ref, xlo_ref, ascales_ref, xscales_ref,
-                ycodes_ref, yscales_ref, acc_ref, *,
-                nb, tm, out_bits, noise):
-    """Mixed 4-bit matrix x 8-bit vector (CloverMatrix4.h:1093-1449)."""
+def _kernel_4x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
+                ycodes_ref, yscales_ref, acc_ref, whi_c, wlo_c, *,
+                nb, tm, out_bits, noise, flat):
+    """Mixed 4-bit matrix x 8-bit vector (CloverMatrix4.h:1093-1449).
+    x arrives as int8 codes (NB, 64); hi/lo-position halves are static
+    lane slices."""
     i, k = pl.program_id(0), pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -173,18 +193,25 @@ def _kernel_4x8(seed_ref, a_ref, xhi_ref, xlo_ref, ascales_ref, xscales_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    xlo = xc_ref[:, :HALF]
+    xhi = xc_ref[:, HALF:]
+
+    @pl.when(i == 0)          # build the weight cache on the first row sweep
+    def _():
+        whi_c[k] = _block_diag(xhi, nb, HALF)
+        wlo_c[k] = _block_diag(xlo, nb, HALF)
+
     p = a_ref[:]
     lou = jnp.bitwise_and(p, jnp.int8(0x0F))
     dn = (((1,), (0,)), ((), ()))
-    whi = _block_diag(xhi_ref[:], nb, HALF)
-    wlo = _block_diag(xlo_ref[:], nb, HALF)
+    whi, wlo = whi_c[k], wlo_c[k]
     mm1 = jax.lax.dot_general(p, whi, dn, preferred_element_type=jnp.int32)
     mm2a = jax.lax.dot_general(lou, whi, dn, preferred_element_type=jnp.int32)
     mm2b = jax.lax.dot_general(lou, wlo, dn, preferred_element_type=jnp.int32)
     hh = jax.lax.shift_right_arithmetic(mm1 - mm2a, 4)      # sum h * x_hi
-    colsum = jnp.sum(xlo_ref[:].astype(jnp.int32), axis=1).astype(jnp.float32)
+    colsum = jnp.sum(xlo.astype(jnp.int32), axis=1).astype(jnp.float32)
     t = (hh + mm2b).astype(jnp.float32) - 8.0 * colsum[None, :]
-    combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 127.0))
+    combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 127.0), flat)
     acc_ref[:] += t * combe
 
     @pl.when(k == nk - 1)
@@ -195,8 +222,8 @@ def _kernel_4x8(seed_ref, a_ref, xhi_ref, xlo_ref, ascales_ref, xscales_ref,
 
 
 def _kernel_8x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
-                ycodes_ref, yscales_ref, acc_ref, *,
-                nb, tm, out_bits, noise):
+                ycodes_ref, yscales_ref, acc_ref, w_c, *,
+                nb, tm, out_bits, noise, flat):
     """Pure 8-bit (CloverMatrix8.h:481-1299): codes hit the MXU directly."""
     i, k = pl.program_id(0), pl.program_id(1)
     nk = pl.num_programs(1)
@@ -205,11 +232,14 @@ def _kernel_8x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    @pl.when(i == 0)
+    def _():
+        w_c[k] = _block_diag(xc_ref[:], nb, BLOCK)
+
     dn = (((1,), (0,)), ((), ()))
-    w = _block_diag(xc_ref[:], nb, BLOCK)
-    mm = jax.lax.dot_general(a_ref[:], w, dn,
+    mm = jax.lax.dot_general(a_ref[:], w_c[k], dn,
                              preferred_element_type=jnp.int32)
-    combe = _combe(ascales_ref, xscales_ref, 1.0 / (127.0 * 127.0))
+    combe = _combe(ascales_ref, xscales_ref, 1.0 / (127.0 * 127.0), flat)
     acc_ref[:] += mm.astype(jnp.float32) * combe
 
     @pl.when(k == nk - 1)
@@ -219,10 +249,20 @@ def _kernel_8x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
                        out_bits, noise, i)
 
 
-def _kernel_4x4(seed_ref, a_ref, xhi_ref, xmix_ref, xlo_ref, ascales_ref,
-                xscales_ref, ycodes_ref, yscales_ref, acc_ref, *,
-                nb, tm, out_bits, noise):
-    """Pure 4-bit x 4-bit (CloverMatrix4.h:777-1083)."""
+def _unpack_x4(xc_ref):
+    """Packed x codes (NB, 32) -> (xhi, xlo) int32 code tiles."""
+    xp = xc_ref[:].astype(jnp.int32)
+    xhi = jax.lax.shift_right_arithmetic(xp, 4)
+    xlo = jnp.bitwise_and(xp, 15) - 8
+    return xhi, xlo
+
+
+def _kernel_4x4(seed_ref, a_ref, xc_ref, ascales_ref,
+                xscales_ref, ycodes_ref, yscales_ref, acc_ref, whi_c, wmix_c,
+                *, nb, tm, out_bits, noise, flat):
+    """Pure 4-bit x 4-bit (CloverMatrix4.h:777-1083).  x arrives PACKED
+    (one 32-byte row per block); unpack is a few int32 ops on a tiny
+    tile, done in-kernel so an MVM needs zero host-side prep of x."""
     i, k = pl.program_id(0), pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -230,17 +270,24 @@ def _kernel_4x4(seed_ref, a_ref, xhi_ref, xmix_ref, xlo_ref, ascales_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    xhi, xlo = _unpack_x4(xc_ref)
+
+    @pl.when(i == 0)
+    def _():
+        whi_c[k] = _block_diag(xhi, nb, HALF)
+        wmix_c[k] = _block_diag(16 * xlo - xhi, nb, HALF)
+
     p = a_ref[:]
     lou = jnp.bitwise_and(p, jnp.int8(0x0F))
     dn = (((1,), (0,)), ((), ()))
-    whi = _block_diag(xhi_ref[:], nb, HALF)
-    wmix = _block_diag(xmix_ref[:], nb, HALF)           # 16*x_lo - x_hi
-    mm1 = jax.lax.dot_general(p, whi, dn, preferred_element_type=jnp.int32)
-    mm2 = jax.lax.dot_general(lou, wmix, dn, preferred_element_type=jnp.int32)
-    colsum = jnp.sum(xlo_ref[:].astype(jnp.int32), axis=1).astype(jnp.float32)
+    mm1 = jax.lax.dot_general(p, whi_c[k], dn,
+                              preferred_element_type=jnp.int32)
+    mm2 = jax.lax.dot_general(lou, wmix_c[k], dn,
+                              preferred_element_type=jnp.int32)
+    colsum = jnp.sum(xlo, axis=1).astype(jnp.float32)
     # mm1 + mm2 == 16 * (T_b + 8*colsum(x_lo))
     t = (mm1 + mm2).astype(jnp.float32) - 128.0 * colsum[None, :]
-    combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 7.0 * 16.0))
+    combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 7.0 * 16.0), flat)
     acc_ref[:] += t * combe
 
     @pl.when(k == nk - 1)
@@ -257,7 +304,7 @@ def _kernel_4x4(seed_ref, a_ref, xhi_ref, xmix_ref, xlo_ref, ascales_ref,
 @lru_cache(maxsize=64)
 def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
                 noise: bool, interpret: bool):
-    tm, tk = _pick_tm(m_pad), _pick_tk(n_pad)
+    tm, tk = _pick_geometry(m_pad, n_pad, mode)
     nb = tk // BLOCK
     gm, gk = m_pad // tm, n_pad // tk
     ka = tk // 2 if mode in ("4x4", "4x8") else tk      # A tile k width
@@ -265,11 +312,20 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
 
     a_spec = pl.BlockSpec((tm, ka), lambda i, k, *_: (i, k),
                           memory_space=pltpu.VMEM)
-    ascales_spec = pl.BlockSpec((1, 1, tm // BLOCK, nb),
-                                lambda i, k, *_: (i, k, 0, 0),
-                                memory_space=pltpu.VMEM)
-    xscales_spec = pl.BlockSpec((1, 1, nb), lambda i, k, *_: (k, 0, 0),
-                                memory_space=pltpu.VMEM)
+    flat = (gk == 1) or (nb % 128 == 0)
+    if flat:
+        # scales consumed as plain 2-D arrays — zero host-side prep
+        ascales_spec = pl.BlockSpec((tm // BLOCK, nb),
+                                    lambda i, k, *_: (i, k),
+                                    memory_space=pltpu.VMEM)
+        xscales_spec = pl.BlockSpec((1, nb), lambda i, k, *_: (0, k),
+                                    memory_space=pltpu.VMEM)
+    else:
+        ascales_spec = pl.BlockSpec((1, 1, tm // BLOCK, nb),
+                                    lambda i, k, *_: (i, k, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        xscales_spec = pl.BlockSpec((1, 1, nb), lambda i, k, *_: (k, 0, 0),
+                                    memory_space=pltpu.VMEM)
 
     def xc_spec(width):
         return pl.BlockSpec((nb, width), lambda i, k, *_: (k, 0),
@@ -288,18 +344,23 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
         jax.ShapeDtypeStruct((gm, tm // BLOCK, 1), jnp.float32),
     ]
 
-    common = dict(nb=nb, tm=tm, out_bits=out_bits, noise=noise)
+    acc_scratch = pltpu.VMEM((tm, nb), jnp.float32)
+    w_scratch = pltpu.VMEM((gk, ka, nb), jnp.int8)
+
+    common = dict(nb=nb, tm=tm, out_bits=out_bits, noise=noise,
+                  flat=flat)
     if mode == "4x4":
         kernel = partial(_kernel_4x4, **common)
-        in_specs = [a_spec, xc_spec(HALF), xc_spec(HALF), xc_spec(HALF),
-                    ascales_spec, xscales_spec]
+        in_specs = [a_spec, xc_spec(HALF), ascales_spec, xscales_spec]
+        scratch = [acc_scratch, w_scratch, w_scratch]
     elif mode == "4x8":
         kernel = partial(_kernel_4x8, **common)
-        in_specs = [a_spec, xc_spec(HALF), xc_spec(HALF),
-                    ascales_spec, xscales_spec]
+        in_specs = [a_spec, xc_spec(BLOCK), ascales_spec, xscales_spec]
+        scratch = [acc_scratch, w_scratch, w_scratch]
     else:
         kernel = partial(_kernel_8x8, **common)
         in_specs = [a_spec, xc_spec(BLOCK), ascales_spec, xscales_spec]
+        scratch = [acc_scratch, w_scratch]
 
     call = pl.pallas_call(
         kernel,
@@ -308,14 +369,14 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
             grid=(gm, gk),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((tm, nb), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )
-    return call, tm, tk
+    return call, tm, tk, flat
 
 
 # ---------------------------------------------------------------------------
@@ -331,38 +392,28 @@ def mvm_pallas(A, x, key=None):
     out_bits = {"4x4": 4, "4x8": 8, "8x8": 8}[mode]
     m_pad, n_pad = A.rows_pad, A.cols_pad
 
-    noise = key is not None
-    if noise:
-        seed = jax.lax.bitcast_convert_type(
-            jax.random.bits(key, (1,), jnp.uint32), jnp.int32)
-    else:
-        seed = jnp.zeros((1,), jnp.int32)
+    seed, noise = seed_from(key)
 
-    call, tm, tk = _build_call(mode, m_pad, n_pad, out_bits, noise,
-                               pallas_interpret())
+    call, tm, tk, flat = _build_call(mode, m_pad, n_pad, out_bits, noise,
+                                     pallas_interpret())
     nb = tk // BLOCK
     gm, nkt = m_pad // tm, n_pad // tk
+    nb_total = n_pad // BLOCK
 
-    # Tiny per-call prep (all fused XLA elementwise; x is O(n)).
-    xcodes = unpack_nibbles(x.codes) if isinstance(x, QVec4) else x.codes
-    c = xcodes.reshape(n_pad // BLOCK, BLOCK)
-    xscales2 = x.scales.reshape(nkt, 1, nb)
-    ascales4 = (A.scales.reshape(gm, tm // BLOCK, nkt, nb)
-                .transpose(0, 2, 1, 3))
-
-    if mode == "8x8":
-        yc, ys = call(seed, A.codes, c.reshape(nkt * nb, BLOCK),
-                      ascales4, xscales2)
+    # Per-call prep: x codes pass through PACKED/raw (unpacking happens
+    # in-kernel); scales pass through as-is on the flat path.
+    if flat:
+        xscales2 = x.scales.reshape(1, nb_total)
+        ascales4 = A.scales
     else:
-        x_lo = c[:, :HALF]
-        x_hi = c[:, HALF:]
-        if mode == "4x4":
-            x_mix = (16 * x_lo.astype(jnp.int16)
-                     - x_hi.astype(jnp.int16)).astype(jnp.int8)
-            yc, ys = call(seed, A.codes, x_hi, x_mix, x_lo,
-                          ascales4, xscales2)
-        else:
-            yc, ys = call(seed, A.codes, x_hi, x_lo, ascales4, xscales2)
+        xscales2 = x.scales.reshape(nkt, 1, nb)
+        ascales4 = (A.scales.reshape(gm, tm // BLOCK, nkt, nb)
+                    .transpose(0, 2, 1, 3))
+    if mode == "4x4":
+        xc = x.codes.reshape(nb_total, HALF)        # packed: 32 B per block
+    else:
+        xc = x.codes.reshape(nb_total, BLOCK)       # int8 codes per block
+    yc, ys = call(seed, A.codes, xc, ascales4, xscales2)
 
     codes = yc.reshape(-1)
     scales = ys.reshape(-1)

@@ -1,0 +1,277 @@
+"""Pallas quantize / AXPY kernels (streaming, SR from the on-core PRNG).
+
+Reference counterparts: vector quantize (CloverVector4.h:605-805,
+CloverVector8.h:393-606), matrix quantize (CloverMatrix4.h:512-777,
+CloverMatrix8.h:203-265), and the fused dequant-FMA-requant scaleAndAdd
+(CloverVector4.h:1196-1517, CloverVector8.h:1089-1386).
+
+The XLA paths in ops/ are semantically identical but draw SR noise from
+threefry (many ops/element); these kernels use ``pltpu.prng_random_bits``
+(hardware PRNG) and fuse absmax/SR/packing into one pass over the data,
+so quantize runs at the f32-read roofline and AXPY at the codes roofline.
+
+Layout convention: a padded vector is processed as a 2-D (n/64, 64) f32
+view — one row per scale block, absmax is a rowwise reduce.  Matrices are
+tiled (TM, TN) with the 64x64 scale tiles reduced by two reshaping maxes.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import BLOCK, QMat4, QMat8, QVec4, QVec8, pad_to
+from .dispatch import pallas_interpret, seed_from
+
+HALF = BLOCK // 2
+QMAX = {4: 7, 8: 127}
+
+
+def _noise_u(shape, seed_ref, salt, noise: bool):
+    if not noise:
+        return 0.0
+    pltpu.prng_seed(seed_ref[0] + salt)
+    bits = pltpu.prng_random_bits(shape)
+    return (jnp.bitwise_and(bits, 0x00FFFFFF).astype(jnp.float32)
+            * (1.0 / (1 << 24)))
+
+
+def _sr(x, mult, qm: int, u):
+    qab = jnp.minimum(jnp.floor(jnp.abs(x) * mult + u).astype(jnp.int32), qm)
+    return jnp.where(x < 0.0, -qab, qab)
+
+
+def _pack_cols(q):
+    """int32[..., 64] codes -> packed int8[..., 32] (biased low nibble)."""
+    lo = jnp.bitwise_and(q[..., :HALF] + 8, 15)
+    hi = jnp.left_shift(jnp.bitwise_and(q[..., HALF:], 15), 4)
+    return jnp.bitwise_or(lo, hi).astype(jnp.int8)
+
+
+def _unpack_cols_f32(p):
+    """packed int8[R, 32] -> f32[R, 64] code values (deinterleaved)."""
+    p32 = p.astype(jnp.int32)
+    hi = jax.lax.shift_right_arithmetic(p32, 4)
+    lo = jnp.bitwise_and(p32, 15) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Vector quantize
+# ---------------------------------------------------------------------------
+
+def _qvec_kernel(seed_ref, x_ref, codes_ref, scales_ref, *, bits, noise):
+    i = pl.program_id(0)
+    x = x_ref[:]                                     # f32[RT, 64]
+    s = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    s = jnp.where(s == 0.0, 1.0, s)
+    qm = QMAX[bits]
+    u = _noise_u(x.shape, seed_ref, i, noise)
+    q = _sr(x, qm / s, qm, u)
+    codes_ref[:] = _pack_cols(q) if bits == 4 else q.astype(jnp.int8)
+    scales_ref[:] = s
+
+
+@lru_cache(maxsize=64)
+def _build_qvec(n_pad: int, bits: int, noise: bool, interpret: bool):
+    nb = n_pad // BLOCK
+    rt = next(r for r in (512, 256, 128, 64, 32, 16, 8, nb) if nb % r == 0)
+    w = HALF if bits == 4 else BLOCK
+    return pl.pallas_call(
+        partial(_qvec_kernel, bits=bits, noise=noise),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb // rt,),
+            in_specs=[pl.BlockSpec((rt, BLOCK), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((rt, w), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rt, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, w), jnp.int8),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def quantize_vec_pallas(xp: jax.Array, length: int, bits: int, key=None):
+    """Padded f32[n_pad] -> QVec4/QVec8 via one fused kernel pass."""
+    n_pad = xp.shape[-1]
+    seed, noise = seed_from(key)
+    call = _build_qvec(n_pad, bits, noise, pallas_interpret())
+    codes, scales = call(seed, xp.reshape(n_pad // BLOCK, BLOCK))
+    cls = QVec4 if bits == 4 else QVec8
+    return cls(codes=codes.reshape(-1), scales=scales.reshape(-1),
+               length=length)
+
+
+def quantize_vec_pallas_eligible(n_pad: int) -> bool:
+    return n_pad % BLOCK == 0
+
+
+# ---------------------------------------------------------------------------
+# Matrix quantize
+# ---------------------------------------------------------------------------
+
+def _qmat_kernel(seed_ref, a_ref, codes_ref, scales_ref, *, tm, tn,
+                 bits, noise):
+    # Mosaic cannot split the lane (last) dim in a reshape, so all per-
+    # 64-column-block work uses STATIC lane slices (tn/64 is small).
+    i, j = pl.program_id(0), pl.program_id(1)
+    a = a_ref[:]                                     # f32[TM, TN]
+    tnb = tn // BLOCK
+    # rowwise 64-group reduce via a sublane reshape (supported), then
+    # per-block lane maxes via static slices
+    r1 = jnp.max(jnp.abs(a).reshape(tm // BLOCK, BLOCK, tn), axis=1)
+    s = jnp.concatenate(
+        [jnp.max(r1[:, b * BLOCK:(b + 1) * BLOCK], axis=1, keepdims=True)
+         for b in range(tnb)], axis=1)               # (TM/64, TN/64)
+    s = jnp.where(s == 0.0, 1.0, s)
+    qm = QMAX[bits]
+    mrow = jnp.repeat(qm / s, BLOCK, axis=0)         # (TM, TN/64), sublanes
+    u = _noise_u(a.shape, seed_ref, i * pl.num_programs(1) + j, noise)
+    qs = []
+    for b in range(tnb):
+        ab = a[:, b * BLOCK:(b + 1) * BLOCK]
+        ub = u if not noise else u[:, b * BLOCK:(b + 1) * BLOCK]
+        qb = _sr(ab, mrow[:, b:b + 1], qm, ub)       # (TM, 64)
+        qs.append(_pack_cols(qb) if bits == 4 else qb.astype(jnp.int8))
+    codes_ref[:] = jnp.concatenate(qs, axis=1)       # (TM, TN/2 or TN)
+    scales_ref[0, 0] = s
+
+
+@lru_cache(maxsize=64)
+def _build_qmat(m_pad: int, n_pad: int, bits: int, noise: bool,
+                interpret: bool):
+    tm = next(t for t in (512, 256, 128) if m_pad % t == 0)
+    tn = n_pad if n_pad <= 1024 else next(
+        t for t in (1024, 512, 256) if n_pad % t == 0)
+    gm, gn = m_pad // tm, n_pad // tn
+    w = tn // 2 if bits == 4 else tn
+    call = pl.pallas_call(
+        partial(_qmat_kernel, tm=tm, tn=tn, bits=bits, noise=noise),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gm, gn),
+            in_specs=[pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((tm, w), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tm // BLOCK, tn // BLOCK),
+                             lambda i, j, *_: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, n_pad // 2 if bits == 4 else n_pad),
+                                 jnp.int8),
+            jax.ShapeDtypeStruct((gm, gn, tm // BLOCK, tn // BLOCK),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    return call, tm, tn
+
+
+def quantize_mat_pallas(ap: jax.Array, rows: int, cols: int, bits: int,
+                        key=None):
+    m_pad, n_pad = ap.shape
+    seed, noise = seed_from(key)
+    call, tm, tn = _build_qmat(m_pad, n_pad, bits, noise, pallas_interpret())
+    codes, s4 = call(seed, ap)
+    gm, gn = m_pad // tm, n_pad // tn
+    scales = (s4.transpose(0, 2, 1, 3)
+              .reshape(m_pad // BLOCK, n_pad // BLOCK))
+    cls = QMat4 if bits == 4 else QMat8
+    return cls(codes=codes, scales=scales, rows=rows, cols=cols)
+
+
+def quantize_mat_pallas_eligible(m_pad: int, n_pad: int) -> bool:
+    if m_pad % 128 or n_pad % 128:
+        return False
+    if n_pad > 1024 and all(n_pad % t for t in (1024, 512, 256)):
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Fused AXPY: r = Q(restore(u) + a * restore(v)) at u's precision
+# ---------------------------------------------------------------------------
+
+def _axpy_kernel(seed_ref, alpha_ref, uc_ref, us_ref, vc_ref, vs_ref,
+                 codes_ref, scales_ref, *, bits, noise):
+    i = pl.program_id(0)
+    qm = QMAX[bits]
+    if bits == 4:
+        uf = _unpack_cols_f32(uc_ref[:])             # f32[RT, 64]
+        vf = _unpack_cols_f32(vc_ref[:])
+    else:
+        uf = uc_ref[:].astype(jnp.float32)
+        vf = vc_ref[:].astype(jnp.float32)
+    # dequant + FMA; product order matches the golden oracle:
+    # u_hat + alpha * v_hat with v_hat = codes * (scale/qmax)
+    x = (uf * (us_ref[:] / qm)
+         + alpha_ref[0] * (vf * (vs_ref[:] / qm)))
+    s = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    s = jnp.where(s == 0.0, 1.0, s)
+    u = _noise_u(x.shape, seed_ref, i, noise)
+    q = _sr(x, qm / s, qm, u)
+    codes_ref[:] = _pack_cols(q) if bits == 4 else q.astype(jnp.int8)
+    scales_ref[:] = s
+
+
+@lru_cache(maxsize=64)
+def _build_axpy(n_pad: int, bits: int, noise: bool, interpret: bool):
+    nb = n_pad // BLOCK
+    rt = next(r for r in (512, 256, 128, 64, 32, 16, 8, nb) if nb % r == 0)
+    w = HALF if bits == 4 else BLOCK
+    cspec = pl.BlockSpec((rt, w), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((rt, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_axpy_kernel, bits=bits, noise=noise),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,        # seed, alpha
+            grid=(nb // rt,),
+            in_specs=[cspec, sspec, cspec, sspec],
+            out_specs=[cspec, sspec],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, w), jnp.int8),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+
+def axpy_pallas(u, v, alpha, key=None):
+    """r = Q(restore(u) + alpha*restore(v)), u/v QVec4 or QVec8 alike."""
+    assert type(u) is type(v)
+    bits = u.bits
+    n_pad = u.length_pad
+    nb = n_pad // BLOCK
+    w = HALF if bits == 4 else BLOCK
+    seed, noise = seed_from(key)
+    alpha = jnp.asarray([alpha], jnp.float32)
+    call = _build_axpy(n_pad, bits, noise, pallas_interpret())
+    codes, scales = call(seed, alpha,
+                         u.codes.reshape(nb, w), u.scales.reshape(nb, 1),
+                         v.codes.reshape(nb, w), v.scales.reshape(nb, 1))
+    return type(u)(codes=codes.reshape(-1), scales=scales.reshape(-1),
+                   length=u.length)
+
+
+def axpy_pallas_eligible(u, v) -> bool:
+    return (type(u) is type(v) and isinstance(u, (QVec4, QVec8))
+            and u.length_pad == v.length_pad)

@@ -41,14 +41,19 @@ def _vec_bits(qvec) -> int:
     return qvec.bits
 
 
-def _split4(key):
-    if key is None:
-        return (None,) * 5
-    return tuple(jax.random.split(key, 5))
+def _op_seeds(seed, n: int = 4):
+    """Derive n per-op int32 seeds from an iteration seed by constant
+    strides — pure integer adds, no threefry on the solver hot path
+    (the TPU analog of the reference's per-thread XORShift streams,
+    CloverRandom.h:39-41)."""
+    from ..kernels.dispatch import SEED_OP
+    if seed is None:
+        return (None,) * n
+    return tuple(seed + jnp.int32((j + 1) * SEED_OP) for j in range(n))
 
 
-def _iteration(Phi, PhiT, y, x, mu, k, key):
-    k1, k2, k3, k4, _ = _split4(key)
+def _iteration(Phi, PhiT, y, x, mu, k, seed):
+    k1, k2, k3, k4 = _op_seeds(seed)
     t1 = mvm(Phi, x, key=k1)                     # t1 = Phi x
     t2 = scale_and_add(y, t1, -1.0, key=k2)      # t2 = y - t1
     t3 = mvm(PhiT, t2, key=k3)                   # t3 = Phi' t2
@@ -60,22 +65,21 @@ def _iteration(Phi, PhiT, y, x, mu, k, key):
 
 @partial(jax.jit, static_argnames=("iterations", "k"))
 def _solve(Phi, PhiT, y, x0, x_star, iterations: int, k, mu, key):
+    from ..kernels.dispatch import SEED_GOLD, seed_from
     xs32 = x_star.values if x_star is not None else None
     xs_norm = (jnp.linalg.norm(xs32) if xs32 is not None else None)
+    seed0 = seed_from(key)[0] if key is not None else None
 
-    def body(carry, _):
-        x, key = carry
-        sub = None
-        if key is not None:
-            key, sub = jax.random.split(key)
-        x = _iteration(Phi, PhiT, y, x, mu, k, sub)
+    def body(x, it):
+        seed = seed0 + it * jnp.int32(SEED_GOLD) if seed0 is not None else None
+        x = _iteration(Phi, PhiT, y, x, mu, k, seed)
         if xs32 is not None:
             err = jnp.linalg.norm(restore_vec(x).values - xs32) / xs_norm
         else:
             err = jnp.float32(0)
-        return (x, key), err
+        return x, err
 
-    (x, _), trace = jax.lax.scan(body, (x0, key), None, length=iterations)
+    x, trace = jax.lax.scan(body, x0, jnp.arange(iterations, dtype=jnp.int32))
     return SolveResult(x=x, trace=trace)
 
 

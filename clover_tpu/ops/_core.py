@@ -53,8 +53,16 @@ def sr_codes(x: jax.Array, scale_per_elem: jax.Array, bits: int,
 
 
 def noise_like(key, shape) -> jax.Array | None:
+    """U[0,1) SR noise.  ``key`` may be a JAX PRNG key or a cheap int32
+    seed (scalar/(1,) array or Python int) carried through solver loops."""
     if key is None:
         return None
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    else:
+        arr = jnp.asarray(key)
+        if arr.dtype == jnp.int32:
+            key = jax.random.PRNGKey(arr.reshape(()))
     return jax.random.uniform(key, shape, dtype=jnp.float32)
 
 

@@ -45,6 +45,11 @@ def quantize_vec(x, bits: int, key=None):
         return QVec32(values=xp, length=length)
     if bits == 16:
         return QVec16(values=xp.astype(jnp.float16), length=length)
+    from ..kernels import pallas_enabled
+    from ..kernels.quantize import (
+        quantize_vec_pallas, quantize_vec_pallas_eligible)
+    if pallas_enabled() and quantize_vec_pallas_eligible(xp.shape[-1]):
+        return quantize_vec_pallas(xp, length, bits, key)
     scales = _core.block_scales(xp)
     per_elem = jnp.repeat(scales, BLOCK)
     noise = _core.noise_like(key, xp.shape)
@@ -76,6 +81,11 @@ def quantize_mat(a, bits: int, key=None):
         return QMat32(values=ap, rows=rows, cols=cols)
     if bits == 16:
         return QMat16(values=ap.astype(jnp.float16), rows=rows, cols=cols)
+    from ..kernels import pallas_enabled
+    from ..kernels.quantize import (
+        quantize_mat_pallas, quantize_mat_pallas_eligible)
+    if pallas_enabled() and quantize_mat_pallas_eligible(*ap.shape):
+        return quantize_mat_pallas(ap, rows, cols, bits, key)
     scales = _core.tile_scales(ap)
     per_elem = jnp.repeat(jnp.repeat(scales, BLOCK, axis=0), BLOCK, axis=1)
     noise = _core.noise_like(key, ap.shape)
