@@ -1,0 +1,213 @@
+"""`-p` performance mode: per-op bandwidth/roofline tables.
+
+Re-creates the reference's benchmark suite (test/performance/00_test.cpp:
+119-217 tables; 01_measure.h measurement templates): for each op and size,
+median time, effective GB/s, % of HBM roofline, and speedup vs the fp32
+baseline — the reference's headline metrics (doc/results/performance.txt).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import clover_tpu as ct
+from ..ops.mvm import mvm_f32
+from .timing import chain_time, gbs, pct_roofline
+
+VEC_SIZES = [1 << 16, 1 << 20, 1 << 22, 1 << 24]
+MVM_SIZES = [2048, 4096, 8192, 16384]
+IHT_SIZES = [(2048, 4096), (4096, 8192)]
+
+
+def _row(log, name, nbytes, dt, base_dt=None):
+    speed = f"{base_dt / dt:6.2f}x" if base_dt else "   ---"
+    log(f"{name:28s} {dt * 1e3:9.4f} ms {gbs(nbytes, dt):9.1f} GB/s "
+        f"{pct_roofline(nbytes, dt):6.1f}% {speed}")
+    return dt
+
+
+def bench_quantize(log, sizes=VEC_SIZES):
+    log("\n== vector quantize (fp32 -> q) — bytes = fp32 read + codes write")
+    rng = np.random.default_rng(0)
+    for n in sizes:
+        x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+        for bits in (4, 8, 16):
+            def make(iters):
+                @jax.jit
+                def g(x):
+                    def body(i, s):
+                        q = ct.quantize(x * (1.0 + s * 1e-30), bits)
+                        arr = q.scales if bits in (4, 8) else q.values
+                        return s + jnp.sum(arr[:1]).astype(jnp.float32)
+                    return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+                return lambda: float(g(x))
+            dt = chain_time(make)
+            q = ct.quantize(x, bits)
+            nbytes = 4 * n + q.nbytes
+            _row(log, f"quantize {bits:2d}-bit n={n}", nbytes, dt)
+
+
+def bench_mvm(log, sizes=MVM_SIZES):
+    log("\n== fused MVM (quantized in, requantized out) — bytes = matrix")
+    rng = np.random.default_rng(0)
+    for n in sizes:
+        A = rng.random((n, n), dtype=np.float32) * 2 - 1
+        x = rng.random(n, dtype=np.float32) * 2 - 1
+        Aj, xj = jnp.asarray(A), jnp.asarray(x)
+
+        def make32(iters):
+            @jax.jit
+            def g(A, x):
+                def body(i, v):
+                    y = A @ v
+                    return y / (jnp.max(jnp.abs(y)) + 1e-30)
+                return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+            return lambda: float(g(Aj, xj))
+        t32 = chain_time(make32)
+        _row(log, f"mvm 32-bit (MXU) n={n}", 4 * n * n, t32)
+
+        for (ba, bx) in ((4, 4), (4, 8), (8, 8), (16, 16)):
+            qA = ct.quantize(Aj, ba)
+            qx = ct.quantize(xj, bx)
+
+            def make(iters):
+                @jax.jit
+                def g(qA, qx):
+                    def body(i, v):
+                        return ct.mvm(qA, v)
+                    return jnp.sum(
+                        jax.lax.fori_loop(0, iters, body, qx).scales
+                        if bx != 16 else
+                        jax.lax.fori_loop(0, iters, body, qx).values[:1]
+                        .astype(jnp.float32))
+                return lambda: float(g(qA, qx))
+            dt = chain_time(make)
+            _row(log, f"mvm {ba:2d}x{bx:2d}-bit n={n}", qA.nbytes, dt, t32)
+
+
+def bench_axpy(log, sizes=VEC_SIZES):
+    log("\n== scaleAndAdd (dequant-FMA-requant) — bytes = 2 reads + 1 write")
+    rng = np.random.default_rng(0)
+    for n in sizes:
+        x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+        y = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+
+        def make32(iters):
+            @jax.jit
+            def g(x, y):
+                def body(i, v):
+                    return y + jnp.float32(-0.5) * v
+                return jnp.sum(jax.lax.fori_loop(0, iters, body, x)[:1])
+            return lambda: float(g(x, y))
+        t32 = chain_time(make32)
+        _row(log, f"scaleAndAdd 32-bit n={n}", 12 * n, t32)
+
+        for bits in (4, 8):
+            qx, qy = ct.quantize(x, bits), ct.quantize(y, bits)
+
+            def make(iters):
+                @jax.jit
+                def g(u, v):
+                    def body(i, u):
+                        return ct.scale_and_add(u, v, -0.5)
+                    return jnp.sum(
+                        jax.lax.fori_loop(0, iters, body, u).scales[:1])
+                return lambda: float(g(qx, qy))
+            dt = chain_time(make)
+            _row(log, f"scaleAndAdd {bits:2d}-bit n={n}", 3 * qx.nbytes,
+                 dt, t32)
+
+
+def bench_dot(log, sizes=VEC_SIZES):
+    log("\n== dot — bytes = 2 vector reads")
+    rng = np.random.default_rng(0)
+    for n in sizes:
+        u = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+        v = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+
+        def make32(iters):
+            @jax.jit
+            def g(u, v):
+                def body(i, s):
+                    return s + jnp.dot(u, v + s * 1e-30)
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            return lambda: float(g(u, v))
+        t32 = chain_time(make32)
+        _row(log, f"dot 32-bit n={n}", 8 * n, t32)
+
+        for bits in (4, 8):
+            qu, qv = ct.quantize(u, bits), ct.quantize(v, bits)
+
+            def make(iters):
+                @jax.jit
+                def g(qu, qv):
+                    def body(i, s):
+                        return s + ct.dot(qu, qv) * (1 + s * 0)
+                    return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+                return lambda: float(g(qu, qv))
+            dt = chain_time(make)
+            _row(log, f"dot {bits:2d}-bit n={n}", 2 * qu.nbytes, dt, t32)
+
+
+def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
+    log(f"\n== threshold (top-K, K={k}) — bytes = 1 read + 1 write")
+    rng = np.random.default_rng(0)
+    for n in sizes:
+        x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+        for bits in (4, 8, 32):
+            q = ct.quantize(x, bits)
+
+            def make(iters):
+                @jax.jit
+                def g(q):
+                    def body(i, q):
+                        return ct.threshold(q, k)
+                    out = jax.lax.fori_loop(0, iters, body, q)
+                    arr = out.scales if bits in (4, 8) else out.values
+                    return jnp.sum(arr[:1])
+                return lambda: float(g(q))
+            dt = chain_time(make, k2=17)
+            _row(log, f"threshold {bits:2d}-bit n={n}", 2 * q.nbytes, dt)
+
+
+def bench_iht(log, sizes=IHT_SIZES):
+    log("\n== IHT end-to-end (iters/s; bytes = 2 matrix streams / iter)")
+    from ..models.solvers import _solve
+    from ..formats import zeros_vector
+    rng = np.random.default_rng(0)
+    for (m, n) in sizes:
+        Phi = rng.random((m, n), dtype=np.float32) * 2 - 1
+        yv = Phi @ rng.random(n, dtype=np.float32)
+        for bits in (4, 32):
+            qphi = ct.quantize(jnp.asarray(Phi), bits)
+            qphit = ct.transpose(qphi)
+            qy = ct.quantize(jnp.asarray(yv / np.abs(yv).max()), bits)
+
+            def make(iters):
+                def run():
+                    x0 = zeros_vector(bits, n)
+                    res = _solve(qphi, qphit, qy, x0, None, iters, n // 4,
+                                 jnp.float32(1e-4), jax.random.PRNGKey(0))
+                    arr = res.x.scales if bits in (4, 8) else res.x.values
+                    return float(jnp.sum(arr[:1]))
+                return run
+            dt = chain_time(make, k1=2, k2=102)
+            _row(log, f"IHT {bits:2d}-bit {m}x{n}", 2 * qphi.nbytes, dt)
+            log(f"{'':28s} -> {1 / dt:10.0f} iters/s")
+
+
+def run_perf(log=print, quick: bool = False):
+    from .sysinfo import banner
+    log(banner())
+    vec = VEC_SIZES[:2] if quick else VEC_SIZES
+    mvm = MVM_SIZES[:2] if quick else MVM_SIZES
+    iht = IHT_SIZES[:1] if quick else IHT_SIZES
+    log(f"\n{'op':28s} {'time':>12} {'bandwidth':>14} {'%roof':>6} {'vs f32':>7}")
+    bench_quantize(log, vec)
+    bench_dot(log, vec)
+    bench_axpy(log, vec)
+    bench_threshold(log, vec[:2])
+    bench_mvm(log, mvm)
+    bench_iht(log, iht)

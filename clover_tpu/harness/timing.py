@@ -1,0 +1,52 @@
+"""Measurement protocol (the TPU analog of lib/perf.cpp's fenced RDTSC).
+
+The reference times with CPUID-fenced RDTSC, calibrated repetitions, and a
+median of 15 (lib/perf.cpp:183-200, test/performance/01_measure.h:39-85).
+On this TPU the tunnel does not block on ``block_until_ready``, so the
+protocol is: jit a dependent chain of K applications of the op, force one
+scalar fetch, and difference two chain lengths to cancel the round trip;
+median over reps.  Bandwidth = bytes_touched / median_time, vs the chip's
+HBM roofline (the analog of the Xeon's 25.6 GB/s DRAM bound).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+# TPU v5e spec numbers (per chip).
+HBM_BYTES_PER_S = 819e9
+BF16_FLOPS = 197e12
+
+MEASURE_REPETITIONS = 7
+
+
+def median_time(fetch, reps: int = MEASURE_REPETITIONS) -> float:
+    """Median wall time of ``fetch()`` (must force device completion)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def chain_time(make_chain, k1: int = 1, k2: int = 65,
+               reps: int = MEASURE_REPETITIONS) -> float:
+    """Per-op time from two dependent-chain lengths.
+
+    ``make_chain(k)`` returns a zero-arg callable that runs a k-long
+    dependent chain of the op and blocks on a scalar fetch.
+    """
+    f1, f2 = make_chain(k1), make_chain(k2)
+    f1(); f2()                      # compile + warm
+    return (median_time(f2, reps) - median_time(f1, reps)) / (k2 - k1)
+
+
+def gbs(nbytes: int, dt: float) -> float:
+    return nbytes / dt / 1e9
+
+
+def pct_roofline(nbytes: int, dt: float) -> float:
+    return 100.0 * nbytes / dt / HBM_BYTES_PER_S

@@ -1,0 +1,190 @@
+"""`-v` validation mode: production kernels vs the golden oracle.
+
+Re-creates the reference's validation suite (test/validate/02_vector.cpp:
+557-641, 03_matrix.cpp:576-645): size sweeps across padding phases,
+bit-exact checks where the reference is bit-exact (quantize/restore/
+scaleAndAdd with SR off, transpose round-trip), tolerance checks where it
+is tolerance-based (dot 0.02, mixed MVM 0.016 relative, threshold top-K
+within 10%).  Prints Good/Failed per check and dumps the first mismatch
+side by side (the reference's simd_debug::compare behavior).
+
+The reference sweeps EVERY size in 128..2047; on TPU each distinct shape
+is a fresh XLA compile, so the default sweep covers every padding phase
+once (64 consecutive sizes) plus larger spot sizes; ``full=True`` restores
+the exhaustive range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import golden
+from ..formats import BLOCK, pad_matrix, pad_vector, unpack_nibbles
+from ..ops import dot, mvm, quantize, restore, scale_and_add, threshold, \
+    transpose
+from ..ops.mvm import mvm_f32
+from ..utils.debug import compare
+
+DEFAULT_VEC_SIZES = list(range(128, 192)) + [255, 256, 384, 511, 512, 1000,
+                                             1024, 2047]
+DEFAULT_MAT_SHAPES = [(128, 128), (128, 256), (192, 320), (256, 128),
+                      (384, 640), (512, 512), (1000, 200), (1280, 1280)]
+
+
+class Validator:
+    def __init__(self, log=print):
+        self.log = log
+        self.failures = 0
+        self.checks = 0
+
+    def check(self, name, ok, a=None, b=None):
+        self.checks += 1
+        if ok:
+            self.log(f"Validating {name:60s} Good")
+        else:
+            self.failures += 1
+            self.log(f"Validating {name:60s} Failed")
+            if a is not None:
+                self.log(compare(np.asarray(a), np.asarray(b)))
+        return ok
+
+    # -- vector ops (ref 02_vector.cpp) ------------------------------------
+
+    def vector_quantize(self, rng, bits, n):
+        x = (rng.random(n, dtype=np.float32) * 2 - 1)
+        q = quantize(jnp.asarray(x), bits)
+        gc, gs = golden.quantize_vec(np.asarray(pad_vector(jnp.asarray(x))),
+                                     bits, noise=0.0)
+        codes = np.asarray(unpack_nibbles(q.codes) if bits == 4 else q.codes)
+        ok = np.array_equal(codes, gc) and np.array_equal(
+            np.asarray(q.scales), gs)
+        return self.check(f"quantize  {bits:2d}-bit n={n}", ok, codes, gc)
+
+    def vector_consistency(self, rng, bits, n):
+        # integer data in [-7, 7] (ref setRandomInteger(7),
+        # 02_vector.cpp:193): |x - restore(quantize(x))| <= 1
+        x = rng.integers(-7, 8, n).astype(np.float32)
+        q = quantize(jnp.asarray(x), bits)
+        xr = np.asarray(restore(q).values)[:n]
+        ok = np.all(np.abs(x - xr) <= 1.0)
+        return self.check(f"consistency {bits:2d}-bit n={n}", ok, xr, x)
+
+    def vector_dot(self, rng, bits, n):
+        u = (rng.random(n, dtype=np.float32) * 2 - 1)
+        v = (rng.random(n, dtype=np.float32) * 2 - 1)
+        qu, qv = quantize(jnp.asarray(u), bits), quantize(jnp.asarray(v), bits)
+        got = float(dot(qu, qv))
+        if bits in (16, 32):
+            ref = float(np.dot(np.asarray(restore(qu).values),
+                               np.asarray(restore(qv).values)))
+            ok = abs(got - ref) <= 0.02 * max(1.0, abs(ref))
+        else:
+            uc = np.asarray(unpack_nibbles(qu.codes) if bits == 4 else qu.codes)
+            vc = np.asarray(unpack_nibbles(qv.codes) if bits == 4 else qv.codes)
+            ref = float(golden.dot(uc, np.asarray(qu.scales), vc,
+                                   np.asarray(qv.scales), bits))
+            ok = abs(got - ref) <= 0.02   # ref tolerance 02_vector.cpp:280
+        return self.check(f"dot       {bits:2d}-bit n={n}", ok,
+                          [got], [ref])
+
+    def vector_scale_and_add(self, rng, bits, n):
+        u = (rng.random(n, dtype=np.float32) * 2 - 1)
+        v = (rng.random(n, dtype=np.float32) * 2 - 1)
+        qu, qv = quantize(jnp.asarray(u), bits), quantize(jnp.asarray(v), bits)
+        r = scale_and_add(qu, qv, -0.5)
+        if bits in (16, 32):
+            ref = np.asarray(restore(qu).values) - 0.5 * np.asarray(
+                restore(qv).values)
+            got = np.asarray(restore(r).values)
+            ok = np.allclose(got, ref.astype(got.dtype), rtol=1e-3, atol=1e-3)
+            return self.check(f"scaleAndAdd {bits:2d}-bit n={n}", ok, got, ref)
+        uc = np.asarray(unpack_nibbles(qu.codes) if bits == 4 else qu.codes)
+        vc = np.asarray(unpack_nibbles(qv.codes) if bits == 4 else qv.codes)
+        gc, gs = golden.scale_and_add(uc, np.asarray(qu.scales), vc,
+                                      np.asarray(qv.scales), -0.5, bits, 0.0)
+        rc = np.asarray(unpack_nibbles(r.codes) if bits == 4 else r.codes)
+        # 1-ulp fma freedom (see tests/test_kernels_quantize.py)
+        diff = rc.astype(np.int32) - gc.astype(np.int32)
+        ok = np.abs(diff).max(initial=0) <= 1 and (diff != 0).mean() <= 0.005
+        return self.check(f"scaleAndAdd {bits:2d}-bit n={n}", ok, rc, gc)
+
+    def vector_threshold(self, rng, bits, n):
+        k = max(1, n // 8)
+        x = (rng.random(n, dtype=np.float32) * 2 - 1)
+        q = quantize(jnp.asarray(x), bits)
+        t = threshold(q, k)
+        vals = np.abs(np.asarray(restore(t).values)[:n])
+        ref_vals = np.abs(np.asarray(restore(q).values)[:n])
+        top_got = np.sort(vals[vals > 0])[::-1]
+        top_ref = np.sort(ref_vals)[::-1][:len(top_got)]
+        # top-K within 10% relative (ref 02_vector.cpp:449-554)
+        ok = (np.count_nonzero(vals) <= k and len(top_got) > 0
+              and np.all(top_got >= top_ref * 0.9 - 1e-6))
+        return self.check(f"threshold {bits:2d}-bit n={n} K={k}", ok)
+
+    # -- matrix ops (ref 03_matrix.cpp) ------------------------------------
+
+    def matrix_quantize(self, rng, bits, m, n):
+        a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+        q = quantize(jnp.asarray(a), bits)
+        gc, gs = golden.quantize_mat(np.asarray(pad_matrix(jnp.asarray(a))),
+                                     bits, noise=0.0)
+        codes = np.asarray(unpack_nibbles(q.codes) if bits == 4 else q.codes)
+        ok = np.array_equal(codes, gc) and np.array_equal(
+            np.asarray(q.scales), gs)
+        return self.check(f"mat quantize {bits:2d}-bit {m}x{n}", ok)
+
+    def matrix_mvm(self, rng, bits_a, bits_x, m, n):
+        a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+        x = (rng.random(n, dtype=np.float32) * 2 - 1)
+        qa = quantize(jnp.asarray(a), bits_a)
+        qx = quantize(jnp.asarray(x), bits_x)
+        y = mvm(qa, qx)
+        got = np.asarray(restore(y).values)
+        ref = np.asarray(mvm_f32(qa, qx))
+        if y.bits in (16, 32):
+            ok = np.allclose(got, ref, rtol=1e-3, atol=1e-3)
+        else:
+            lsb = np.repeat(np.asarray(y.scales), BLOCK) / (
+                7.0 if y.bits == 4 else 127.0)
+            ok = np.all(np.abs(got - ref) <= lsb * (1 + 1e-3) + 1e-5)
+        return self.check(
+            f"mvm {bits_a:2d}x{bits_x:2d}-bit {m}x{n}", ok, got[:8], ref[:8])
+
+    def matrix_transpose(self, rng, bits, m, n):
+        a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+        q = quantize(jnp.asarray(a), bits)
+        t = transpose(q)
+        ra = np.asarray(restore(q).values)
+        rt = np.asarray(restore(t).values)
+        ok = np.array_equal(ra, rt.T)        # bit-exact round trip (ref
+        return self.check(                   # 03_matrix.cpp:153-245)
+            f"transpose {bits:2d}-bit {m}x{n}", ok)
+
+
+def run_validation(full: bool = False, seed: int = 1, log=print) -> bool:
+    rng = np.random.default_rng(seed)
+    v = Validator(log=log)
+    vec_sizes = (list(range(128, 2048)) if full else DEFAULT_VEC_SIZES)
+    mat_shapes = DEFAULT_MAT_SHAPES if not full else [
+        (mm, nn) for mm in range(128, 1281, 128) for nn in range(128, 1281, 128)]
+
+    for n in vec_sizes:
+        for bits in (4, 8):
+            v.vector_quantize(rng, bits, n)
+            v.vector_consistency(rng, bits, n)
+            v.vector_dot(rng, bits, n)
+            v.vector_scale_and_add(rng, bits, n)
+        for bits in (4, 8, 16, 32):
+            v.vector_threshold(rng, bits, n)
+
+    for (m, n) in mat_shapes:
+        for bits in (4, 8):
+            v.matrix_quantize(rng, bits, m, n)
+            v.matrix_transpose(rng, bits, m, n)
+        for (ba, bx) in ((4, 4), (4, 8), (8, 8), (16, 16), (32, 32)):
+            v.matrix_mvm(rng, ba, bx, m, n)
+
+    log(f"\n{v.checks} checks, {v.failures} failures")
+    return v.failures == 0
