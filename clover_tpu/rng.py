@@ -46,13 +46,15 @@ U64 = np.uint64
 def _np_next(s0: np.ndarray, s1: np.ndarray):
     """One xorshift128+ step on uint64 lane arrays; returns (s0', s1', out).
 
-    out = s1' + old_s0 (simdxorshift128plus.h:97-109 semantics).
+    Follows the reference's scalar ``xorshift128plus_onkeys`` convention
+    (simdxorshift128plus.h:38-44): x = old s0 is the shifted word, c =
+    old s1 becomes the new s0; out = s1' + c.
     """
-    old_s0 = s0.copy()
-    x = s1.copy()
+    x = s0.copy()
+    c = s1.copy()
     x ^= x << U64(23)
-    new_s1 = x ^ old_s0 ^ (x >> U64(18)) ^ (old_s0 >> U64(5))
-    return s1.copy(), new_s1, new_s1 + old_s0
+    new_s1 = x ^ c ^ (x >> U64(18)) ^ (c >> U64(5))
+    return c.copy(), new_s1, new_s1 + c
 
 
 def _np_jump(s0, s1):
@@ -143,17 +145,19 @@ class XorShift128Plus:
         return (self.s0_hi, self.s0_lo, self.s1_hi, self.s1_lo)
 
     def next(self):
-        """One step; returns (new_state, out_hi, out_lo) — all uint32."""
-        s0h, s0l = self.s0_hi, self.s0_lo
-        xh, xl = self.s1_hi, self.s1_lo
+        """One step; returns (new_state, out_hi, out_lo) — all uint32.
+
+        Mirrors ``xorshift128plus_onkeys``: x = old s0, c = old s1."""
+        ch, cl = self.s1_hi, self.s1_lo
+        xh, xl = self.s0_hi, self.s0_lo
         th, tl = _shl(xh, xl, 23)
         xh, xl = xh ^ th, xl ^ tl
         ah, al = _shr(xh, xl, 18)
-        bh, bl = _shr(s0h, s0l, 5)
-        n1h = xh ^ s0h ^ ah ^ bh
-        n1l = xl ^ s0l ^ al ^ bl
-        oh, ol = _add64(n1h, n1l, s0h, s0l)
-        new = XorShift128Plus((self.s1_hi, self.s1_lo, n1h, n1l))
+        bh, bl = _shr(ch, cl, 5)
+        n1h = xh ^ ch ^ ah ^ bh
+        n1l = xl ^ cl ^ al ^ bl
+        oh, ol = _add64(n1h, n1l, ch, cl)
+        new = XorShift128Plus((ch, cl, n1h, n1l))
         return new, oh, ol
 
     def uniform_block(self):
