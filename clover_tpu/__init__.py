@@ -13,8 +13,9 @@ from .formats import (
     pack_nibbles, pad_to, unpack_nibbles, zeros_vector,
 )
 from .ops import (
-    dot, mvm, mvm_f32, quantize, quantize_mat, quantize_vec, restore,
-    restore_mat, restore_vec, scale_and_add, threshold, transpose,
+    dot, gemm_f32, mvm, mvm_batched, mvm_f32, mvm_sparse, quantize,
+    quantize_mat, quantize_vec, restore, restore_mat, restore_vec,
+    scale_and_add, threshold, transpose,
 )
 
 __version__ = "0.1.0"
@@ -27,4 +28,5 @@ __all__ = [
     "quantize", "quantize_vec", "quantize_mat",
     "restore", "restore_vec", "restore_mat",
     "dot", "scale_and_add", "mvm", "mvm_f32", "threshold", "transpose",
+    "mvm_sparse", "mvm_batched", "gemm_f32",
 ]

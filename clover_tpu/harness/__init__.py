@@ -5,4 +5,4 @@ The TPU re-creation of the reference's test/benchmark layers (SURVEY §L5/L6):
 ``test/accuracy`` (-a), ``test/search`` (-g).  Entry point: clover_tpu.cli.
 """
 
-from . import accuracy, perf, search, sysinfo, timing, validate  # noqa: F401
+from . import accuracy, perf, profile, search, sysinfo, timing, validate  # noqa: F401
