@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import os
-from functools import lru_cache
+
 
 import jax
 import jax.numpy as jnp
@@ -33,12 +33,15 @@ def seed_from(key):
 
 
 def pallas_interpret() -> bool:
-    """Run kernels in interpreter mode (CPU test mesh)."""
-    return os.environ.get("PALLAS_INTERPRET", "0") == "1"
+    """Run kernels in interpreter mode (CPU test mesh, or any non-TPU
+    backend where Mosaic cannot compile)."""
+    if os.environ.get("PALLAS_INTERPRET", "0") == "1":
+        return True
+    return _backend() != "tpu"
 
 
-@lru_cache(maxsize=1)
 def _backend() -> str:
+    # NOT cached: the driver's dryrun flips jax_platforms mid-process.
     return jax.default_backend()
 
 

@@ -41,14 +41,15 @@ def _vec_bits(qvec) -> int:
     return qvec.bits
 
 
-def _op_seeds(seed, n: int = 4):
-    """Derive n per-op int32 seeds from an iteration seed by constant
-    strides — pure integer adds, no threefry on the solver hot path
-    (the TPU analog of the reference's per-thread XORShift streams,
+def _op_seeds(key_or_seed, n: int = 4):
+    """Derive n per-op int32 seeds from an iteration seed (or PRNG key) by
+    constant strides — pure integer adds, no threefry on the solver hot
+    path (the TPU analog of the reference's per-thread XORShift streams,
     CloverRandom.h:39-41)."""
-    from ..kernels.dispatch import SEED_OP
-    if seed is None:
+    from ..kernels.dispatch import SEED_OP, seed_from
+    if key_or_seed is None:
         return (None,) * n
+    seed = seed_from(key_or_seed)[0]
     return tuple(seed + jnp.int32((j + 1) * SEED_OP) for j in range(n))
 
 

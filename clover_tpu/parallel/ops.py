@@ -19,13 +19,22 @@ from ..ops.quantize import quantize_vec
 
 
 def axis_key(key, axis: str):
-    """Fold the mesh position along ``axis`` into a key so each shard of
-    that axis draws an independent stochastic-rounding stream, while
-    replicas along other axes stay bit-identical (required for outputs
-    that are replicated along those axes)."""
+    """Fold the mesh position along ``axis`` into the SR randomness so each
+    shard of that axis draws an independent stochastic-rounding stream,
+    while replicas along other axes stay bit-identical (required for
+    outputs that are replicated along those axes).  This is the TPU analog
+    of the reference's per-thread key arrays (CloverRandom.h:104-113).
+
+    ``key`` may be an int32 seed (cheap: one integer mix per shard) or a
+    JAX PRNG key (fold_in)."""
     if key is None:
         return None
-    return jax.random.fold_in(key, jax.lax.axis_index(axis))
+    idx = jax.lax.axis_index(axis)
+    arr = jnp.asarray(key)
+    if arr.dtype == jnp.int32:
+        from ..kernels.dispatch import SEED_GOLD
+        return arr + (idx + 1) * jnp.int32(SEED_GOLD ^ 0x5851F42D)
+    return jax.random.fold_in(key, idx)
 
 
 def mvm_psum(A_local, x_local, reduce_axis: str, key, out_bits: int,

@@ -94,12 +94,17 @@ def _solve_sharded(qphi, qphit, qy, x0, x_star, iterations: int, k, mu,
 
         xs_norm = norm2_psum(xs, COL) if xs is not None else None
 
-        def body(carry, _):
-            x, kk = carry
-            sub = None
-            if kk is not None:
-                kk, sub = jax.random.split(kk)
-            ks = jax.random.split(sub, 4) if sub is not None else (None,) * 4
+        # One threefry draw up front; per-iteration/per-op seeds are then
+        # integer strides (models/solvers.py uses the same scheme).
+        from ..kernels.dispatch import SEED_GOLD, SEED_OP, seed_from
+        seed0 = seed_from(k0)[0] if k0 is not None else None
+
+        def body(x, it):
+            if seed0 is not None:
+                base = seed0 + it * jnp.int32(SEED_GOLD)
+                ks = [base + (j + 1) * jnp.int32(SEED_OP) for j in range(4)]
+            else:
+                ks = (None,) * 4
             t1 = mvm_psum(phi, x, COL, ks[0], t_bits, ROW)
             t2 = scale_and_add(y, t1, -1.0, key=axis_key(ks[1], ROW))
             t3 = mvm_psum(phit, t2, ROW, ks[2], x_bits, COL)
@@ -112,10 +117,10 @@ def _solve_sharded(qphi, qphit, qy, x0, x_star, iterations: int, k, mu,
                 err = norm2_psum(d, COL) / xs_norm
             else:
                 err = jnp.float32(0)
-            return (x, kk), err
+            return x, err
 
-        (x, _), trace = jax.lax.scan(body, (x_init, k0), None,
-                                     length=iterations)
+        x, trace = jax.lax.scan(body, x_init,
+                                jnp.arange(iterations, dtype=jnp.int32))
         outs, _ = _vec_arrays(x)
         return (*outs, trace)
 
