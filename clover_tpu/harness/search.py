@@ -53,7 +53,7 @@ def _trace_verdict(trace: np.ndarray) -> ProbeResult:
     stop_i = len(trace) - 1
     curr = float(trace[-1]) if len(trace) else np.inf
     for i, curr_i in enumerate(np.asarray(trace, np.float64)):
-        if math.isnan(curr_i):
+        if math.isnan(curr_i) or math.isinf(curr_i):
             return ProbeResult(False, float("inf"), len(trace))
         improvement = prev - curr_i
         prev = curr_i
@@ -132,9 +132,14 @@ def iht_best_possible_quality(problem: SearchProblem, lo: float = 1e-6,
     if not ub_found:
         raise RuntimeError("upper bound not found (ref :566-569)")
 
-    # 10-point grid, repeatedly refined between the two best points
+    # 10-point grid, repeatedly refined between the two best points.
+    # Unlike the reference (which can spin when the two best points are the
+    # bracket endpoints), cap the rounds and bail if the bracket stalls.
     lo = lo_initial
-    while lo + precision <= hi:
+    rounds = 0
+    while lo + precision <= hi and rounds < 24:
+        rounds += 1
+        prev_span = hi - lo
         step = (hi - lo) / GRID_SIZE
         quals = []
         for i in range(GRID_SIZE + 1):
@@ -150,6 +155,8 @@ def iht_best_possible_quality(problem: SearchProblem, lo: float = 1e-6,
         hi = lo + step * max(i1, i2)
         lo = lo + step * min(i1, i2)
         log(f"readjustment: {lo} - {hi}")
+        if hi - lo >= prev_span * 0.95:     # stalled bracket
+            break
     return best_q, best_mu, best_it
 
 

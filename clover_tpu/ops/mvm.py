@@ -60,6 +60,11 @@ def mvm_f32(A, x) -> jax.Array:
     """
     if isinstance(A, (QMat4, QMat8)) and isinstance(x, (QVec4, QVec8)):
         return _blocked_int_mvm_f32(A, x)
+    if isinstance(A, (QMat4, QMat8)) and isinstance(x, QVec32):
+        # dequant-on-the-fly x32 path (CloverMatrix4.h:1451-1547): blocked
+        # MXU GEMM with the scale combine folded — no restored A in HBM.
+        from .gemm import gemm_f32
+        return gemm_f32(A, x.values[:, None])[:, 0]
     # fp paths: dequantize and use the MXU directly.
     af = restore_mat(A).values if not isinstance(A, QMat32) else A.values
     xf = restore_vec(x).values if not isinstance(x, QVec32) else x.values
