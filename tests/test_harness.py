@@ -64,3 +64,15 @@ def test_debug_printers():
     c = compare([1, 2, 3], [1, 9, 3])
     assert "mismatch" in c
     assert "[     0]" in format_blocks(np.arange(32))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from clover_tpu.utils import checkpoint
+    q = ct.quantize(jnp.asarray(np.linspace(-1, 1, 256, dtype=np.float32)), 4)
+    state = {"x": q, "step": jnp.int32(7)}
+    path = str(tmp_path / "ck")
+    checkpoint.save(path, state)
+    back = checkpoint.load(path, like=state)
+    assert np.array_equal(np.asarray(back["x"].codes), np.asarray(q.codes))
+    assert np.array_equal(np.asarray(back["x"].scales), np.asarray(q.scales))
+    assert back["x"].length == 256 and int(back["step"]) == 7
