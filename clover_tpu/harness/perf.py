@@ -39,8 +39,10 @@ def bench_quantize(log, sizes=VEC_SIZES):
                 def g(x):
                     def body(i, s):
                         q = ct.quantize(x * (1.0 + s * 1e-30), bits)
+                        # consume the WHOLE output or XLA dead-code-
+                        # eliminates all but one element of the XLA paths
                         arr = q.scales if bits in (4, 8) else q.values
-                        return s + jnp.sum(arr[:1]).astype(jnp.float32)
+                        return s + jnp.sum(arr).astype(jnp.float32) * 1e-30
                     return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
                 return lambda: float(g(x))
             dt = chain_time(make)
@@ -77,11 +79,10 @@ def bench_mvm(log, sizes=MVM_SIZES):
                 def g(qA, qx):
                     def body(i, v):
                         return ct.mvm(qA, v)
+                    out = jax.lax.fori_loop(0, iters, body, qx)
                     return jnp.sum(
-                        jax.lax.fori_loop(0, iters, body, qx).scales
-                        if bx != 16 else
-                        jax.lax.fori_loop(0, iters, body, qx).values[:1]
-                        .astype(jnp.float32))
+                        out.scales if bx != 16 else
+                        out.values.astype(jnp.float32) * 1e-30)
                 return lambda: float(g(qA, qx))
             dt = chain_time(make)
             _row(log, f"mvm {ba:2d}x{bx:2d}-bit n={n}", qA.nbytes, dt, t32)
@@ -99,7 +100,7 @@ def bench_axpy(log, sizes=VEC_SIZES):
             def g(x, y):
                 def body(i, v):
                     return y + jnp.float32(-0.5) * v
-                return jnp.sum(jax.lax.fori_loop(0, iters, body, x)[:1])
+                return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
             return lambda: float(g(x, y))
         t32 = chain_time(make32)
         _row(log, f"scaleAndAdd 32-bit n={n}", 12 * n, t32)
@@ -113,7 +114,7 @@ def bench_axpy(log, sizes=VEC_SIZES):
                     def body(i, u):
                         return ct.scale_and_add(u, v, -0.5)
                     return jnp.sum(
-                        jax.lax.fori_loop(0, iters, body, u).scales[:1])
+                        jax.lax.fori_loop(0, iters, body, u).scales)
                 return lambda: float(g(qx, qy))
             dt = chain_time(make)
             _row(log, f"scaleAndAdd {bits:2d}-bit n={n}", 3 * qx.nbytes,
@@ -144,7 +145,14 @@ def bench_dot(log, sizes=VEC_SIZES):
                 @jax.jit
                 def g(qu, qv):
                     def body(i, s):
-                        return s + ct.dot(qu, qv) * (1 + s * 0)
+                        # feed the carry into the CODES (select fuses into
+                        # the dot's read) — a scales-only perturbation
+                        # lets XLA hoist the integer dot out of the loop
+                        codes = jnp.where(s < jnp.float32(1e30), qu.codes,
+                                          qu.codes ^ 1)
+                        qu2 = type(qu)(codes=codes, scales=qu.scales,
+                                       length=qu.length)
+                        return s + ct.dot(qu2, qv) * 1e-30
                     return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
                 return lambda: float(g(qu, qv))
             dt = chain_time(make)
@@ -162,13 +170,27 @@ def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
             def make(iters):
                 @jax.jit
                 def g(q):
-                    def body(i, q):
-                        return ct.threshold(q, k)
-                    out = jax.lax.fori_loop(0, iters, body, q)
-                    arr = out.scales if bits in (4, 8) else out.values
-                    return jnp.sum(arr[:1])
+                    def body(i, carry):
+                        q2, s = carry
+                        if bits in (4, 8):
+                            q2 = type(q)(codes=q.codes,
+                                         scales=q.scales + s * 1e-30,
+                                         length=q.length)
+                        else:
+                            q2 = type(q)(values=q.values + s * 1e-30,
+                                         length=q.length)
+                        out = ct.threshold(q2, k)
+                        if bits in (4, 8):
+                            tot = jnp.sum(out.codes.astype(jnp.int32)
+                                          ).astype(jnp.float32)
+                        else:
+                            tot = jnp.sum(out.values)
+                        return (q2, s + tot * 1e-30)
+                    _, s = jax.lax.fori_loop(0, iters, body,
+                                             (q, jnp.float32(0)))
+                    return s
                 return lambda: float(g(q))
-            dt = chain_time(make, k2=17)
+            dt = chain_time(make)
             _row(log, f"threshold {bits:2d}-bit n={n}", 2 * q.nbytes, dt)
 
 
@@ -193,14 +215,12 @@ def bench_iht(log, sizes=IHT_SIZES):
                     arr = res.x.scales if bits in (4, 8) else res.x.values
                     return float(jnp.sum(arr[:1]))
                 return run
-            dt = chain_time(make, k1=2, k2=102)
+            dt = chain_time(make, k1=2)
             _row(log, f"IHT {bits:2d}-bit {m}x{n}", 2 * qphi.nbytes, dt)
             log(f"{'':28s} -> {1 / dt:10.0f} iters/s")
 
 
 def run_perf(log=print, quick: bool = False):
-    from .sysinfo import banner
-    log(banner())
     vec = VEC_SIZES[:2] if quick else VEC_SIZES
     mvm = MVM_SIZES[:2] if quick else MVM_SIZES
     iht = IHT_SIZES[:1] if quick else IHT_SIZES

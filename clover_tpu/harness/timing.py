@@ -32,15 +32,34 @@ def median_time(fetch, reps: int = MEASURE_REPETITIONS) -> float:
     return float(np.median(ts))
 
 
-def chain_time(make_chain, k1: int = 1, k2: int = 65,
-               reps: int = MEASURE_REPETITIONS) -> float:
+def chain_time(make_chain, k1: int = 1, k2: int | None = None,
+               reps: int = MEASURE_REPETITIONS,
+               target_s: float = 0.04) -> float:
     """Per-op time from two dependent-chain lengths.
 
     ``make_chain(k)`` returns a zero-arg callable that runs a k-long
     dependent chain of the op and blocks on a scalar fetch.
+
+    When ``k2`` is None the chain length is CALIBRATED so the measured
+    batch spans ~``target_s`` seconds — the reference's calibrated-
+    repetition protocol (test/performance/01_measure.h:62-70), needed
+    because microsecond ops are invisible next to the ~30 ms tunnel
+    round trip.
     """
-    f1, f2 = make_chain(k1), make_chain(k2)
-    f1(); f2()                      # compile + warm
+    f1 = make_chain(k1)
+    f1()                            # compile + warm
+    t1 = median_time(f1, 3)
+    if k2 is None:
+        probe_k = 257
+        fp = make_chain(probe_k)
+        fp()
+        est = max((median_time(fp, 3) - t1) / (probe_k - k1), 2e-8)
+        k2 = min(max(probe_k, int(target_s / est)), 200_000)
+        if k2 == probe_k:
+            return (median_time(fp, reps) - median_time(f1, reps)) / (
+                probe_k - k1)
+    f2 = make_chain(k2)
+    f2()
     return (median_time(f2, reps) - median_time(f1, reps)) / (k2 - k1)
 
 

@@ -70,7 +70,14 @@ def _pick_geometry(m_pad: int, n_pad: int, mode: str):
     import os
     pack = 2 if mode in ("4x4", "4x8") else 1
     env_tm = os.environ.get("CLOVER_MVM_TM")
-    tm_choices = ((int(env_tm),) if env_tm else ()) + (1024, 512, 256, 128)
+    # TM=2048/TK=4096 measured best at n=16k (86.6% of the HBM roofline),
+    # but the grid needs >= ~8 row steps to hide the pipeline ramp at
+    # smaller m; pick the largest TM that keeps 8 steps, else the largest
+    # divisor.
+    sizes = (2048, 1024, 512, 256, 128)
+    tm_choices = ((int(env_tm),) if env_tm else ())
+    tm_choices += tuple(t for t in sizes if m_pad // t >= 8)
+    tm_choices += sizes
     tm = next((t for t in tm_choices if m_pad % t == 0), None)
     if tm is None:
         return None
@@ -312,7 +319,9 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
 
     a_spec = pl.BlockSpec((tm, ka), lambda i, k, *_: (i, k),
                           memory_space=pltpu.VMEM)
-    flat = (gk == 1) or (nb % 128 == 0)
+    # flat scales: ascales block (tm/64, nb) must be tile-legal both ways
+    flat = ((gk == 1) or (nb % 128 == 0)) and (
+        (tm // BLOCK) % 8 == 0 or gm == 1)
     if flat:
         # scales consumed as plain 2-D arrays — zero host-side prep
         ascales_spec = pl.BlockSpec((tm // BLOCK, nb),

@@ -31,6 +31,10 @@ def dot(u, v) -> jax.Array:
         return jnp.dot(uf, vf, preferred_element_type=jnp.float32)
 
     assert u.bits == v.bits, "mixed 4/8 dot not in the reference API"
+    from ..kernels import pallas_enabled
+    from ..kernels.dot import dot_pallas, dot_pallas_eligible
+    if pallas_enabled() and dot_pallas_eligible(u, v):
+        return dot_pallas(u, v)
     qm = _core.qmax(u.bits)
     ub = _codes(u).reshape(-1, BLOCK)
     vb = _codes(v).reshape(-1, BLOCK)

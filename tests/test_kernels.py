@@ -106,3 +106,22 @@ def test_mvm_kernel_output_container_shape(rng):
     out8 = mvm_pallas(qA8, qx8)
     assert isinstance(out8, QVec8)
     assert out8.codes.shape == (ct.pad_to(192),)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("n", [512, 1024, 4096])
+def test_dot_kernel_vs_golden(rng, bits, n):
+    from clover_tpu import golden
+    from clover_tpu.kernels.dot import dot_pallas, dot_pallas_eligible
+    u = (rng.random(n, dtype=np.float32) * 2 - 1)
+    v = (rng.random(n, dtype=np.float32) * 2 - 1)
+    qu = ct.quantize(jnp.asarray(u), bits)
+    qv = ct.quantize(jnp.asarray(v), bits)
+    assert dot_pallas_eligible(qu, qv)
+    got = float(dot_pallas(qu, qv))
+    uc = np.asarray(unpack_nibbles(qu.codes) if bits == 4 else qu.codes)
+    vc = np.asarray(unpack_nibbles(qv.codes) if bits == 4 else qv.codes)
+    ref = float(golden.dot(uc, np.asarray(qu.scales), vc,
+                           np.asarray(qv.scales), bits))
+    # reference dot tolerance for reordered accumulation (:280-283)
+    assert abs(got - ref) <= 0.02 * max(1.0, abs(ref) / 10), (got, ref)
