@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 import clover_tpu as ct
-from ..ops.mvm import mvm_f32
 from .timing import chain_time, gbs, pct_roofline
 
 VEC_SIZES = [1 << 16, 1 << 20, 1 << 22, 1 << 24]

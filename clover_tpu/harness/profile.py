@@ -13,7 +13,7 @@ import os
 
 import jax
 
-from .timing import HBM_BYTES_PER_S, chain_time, gbs, pct_roofline
+from .timing import gbs, pct_roofline
 
 
 @contextlib.contextmanager

@@ -46,16 +46,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats import (
-    BLOCK, QMat4, QMat8, QVec4, QVec8, unpack_nibbles,
-)
+from ..formats import BLOCK, QMat4, QMat8, QVec4, QVec8
 from .dispatch import pallas_interpret, seed_from
 
 QMAX = {4: 7.0, 8: 127.0}
 HALF = BLOCK // 2
 
-# VMEM-friendly tile bounds (A tile <= 512 x 4096 int8 = 2 MB, x2 buffered).
-_TM_CHOICES = (512, 256, 128)
+# VMEM-friendly tile bounds (A tile <= 4 MB double-buffered).
 _TK_MAX_SINGLE = 8192           # use TK = n_pad when n_pad <= this
 _TK_CHOICES = (8192, 4096, 2048, 1024, 512)
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats import BLOCK, QMat4, QMat8, QVec4, QVec8, pad_to
+from ..formats import BLOCK, QMat4, QMat8, QVec4, QVec8
 from .dispatch import pallas_interpret, seed_from
 
 HALF = BLOCK // 2

@@ -26,9 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..formats import QVec16, QVec32, zeros_vector
+from ..formats import zeros_vector
 from ..ops import mvm, restore_vec, scale_and_add, threshold
-from ..ops.quantize import quantize_vec
 
 
 class SolveResult(NamedTuple):

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..formats import (
-    BLOCK, QMat4, QMat8, QMat16, QMat32, QVec4, QVec8, QVec16, QVec32,
+    BLOCK, QMat8, QMat16, QMat32, QVec4, QVec8, QVec16, QVec32,
 )
 
 HALF = BLOCK // 2

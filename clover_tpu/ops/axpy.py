@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..formats import QVec4, QVec8, QVec16, QVec32
+from ..formats import QVec16, QVec32
 from .quantize import quantize_vec, restore_vec
 
 

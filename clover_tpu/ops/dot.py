@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..formats import BLOCK, QVec4, QVec8, QVec16, QVec32, unpack_nibbles
+from ..formats import BLOCK, QVec4, QVec16, QVec32, unpack_nibbles
 from . import _core
 
 

@@ -17,10 +17,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..formats import BLOCK, QMat4, QMat8, QMat16, QMat32, unpack_nibbles
+from ..formats import BLOCK, QMat4, QMat16, QMat32, unpack_nibbles
 from . import _core
 from .mvm import _out_bits, _requant_output, mvm_f32
-from .quantize import restore_mat
 
 
 def mvm_batched(A, xs, key=None):

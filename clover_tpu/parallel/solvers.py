@@ -11,9 +11,6 @@ Dataflow (mesh axes "row" x "col"; see parallel/mesh.py):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
