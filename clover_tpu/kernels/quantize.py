@@ -10,9 +10,11 @@ threefry (many ops/element); these kernels use ``pltpu.prng_random_bits``
 (hardware PRNG) and fuse absmax/SR/packing into one pass over the data,
 so quantize runs at the f32-read roofline and AXPY at the codes roofline.
 
-Layout convention: a padded vector is processed as a 2-D (n/64, 64) f32
-view — one row per scale block, absmax is a rowwise reduce.  Matrices are
-tiled (TM, TN) with the 64x64 scale tiles reduced by two reshaping maxes.
+Layout convention: a padded vector is processed as a 2-D (n/512, 512)
+view — EIGHT blocks per row so tiles span all 128 lanes (a (n/64, 64)
+layout runs the VPU at half width and was measured ~4x slower); per-block
+work uses static 64-lane slices, like the matrix kernel.  Scale I/O uses
+lane-major layouts ((blocks,1)-shaped streams degrade the DMA ~100x).
 """
 
 from __future__ import annotations
@@ -64,40 +66,55 @@ def _unpack_cols_f32(p):
 # Vector quantize
 # ---------------------------------------------------------------------------
 
+GRP = 8                      # blocks per tile row (8 * 64 = 512 lanes)
+
+
 def _qvec_kernel(seed_ref, x_ref, codes_ref, scales_ref, *, bits, noise):
     i = pl.program_id(0)
-    x = x_ref[:]                                     # f32[RT, 64]
-    s = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    s = jnp.where(s == 0.0, 1.0, s)
+    x = x_ref[:]                                     # f32[RT, 512]
     qm = QMAX[bits]
     u = _noise_u(x.shape, seed_ref, i, noise)
-    q = _sr(x, qm / s, qm, u)
-    codes_ref[:] = _pack_cols(q) if bits == 4 else q.astype(jnp.int8)
-    scales_ref[:] = s
+    cs, ss = [], []
+    for b in range(GRP):
+        xb = x[:, b * BLOCK:(b + 1) * BLOCK]
+        s = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
+        s = jnp.where(s == 0.0, 1.0, s)
+        ub = u if not noise else u[:, b * BLOCK:(b + 1) * BLOCK]
+        q = _sr(xb, qm / s, qm, ub)
+        cs.append(_pack_cols(q) if bits == 4 else q.astype(jnp.int8))
+        ss.append(s)
+    codes_ref[:] = jnp.concatenate(cs, axis=1)       # (RT, 256 or 512)
+    scales_ref[:] = jnp.concatenate(ss, axis=1)      # (RT, 8)
+
+
+def _pick_rt(rows: int) -> int:
+    """rows = n / 512 tile rows per step."""
+    return next(r for r in (1024, 512, 256, 128, 64, 32, 16, 8, rows)
+                if rows % r == 0)
 
 
 @lru_cache(maxsize=64)
 def _build_qvec(n_pad: int, bits: int, noise: bool, interpret: bool):
-    nb = n_pad // BLOCK
-    rt = next(r for r in (512, 256, 128, 64, 32, 16, 8, nb) if nb % r == 0)
-    w = HALF if bits == 4 else BLOCK
+    rows = n_pad // (8 * BLOCK)
+    rt = _pick_rt(rows)
+    w = (HALF if bits == 4 else BLOCK) * 8
     return pl.pallas_call(
         partial(_qvec_kernel, bits=bits, noise=noise),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb // rt,),
-            in_specs=[pl.BlockSpec((rt, BLOCK), lambda i, *_: (i, 0),
+            grid=(rows // rt,),
+            in_specs=[pl.BlockSpec((rt, 8 * BLOCK), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=[
                 pl.BlockSpec((rt, w), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rt, 1), lambda i, *_: (i, 0),
+                pl.BlockSpec((rt, 8), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((nb, w), jnp.int8),
-            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, w), jnp.int8),
+            jax.ShapeDtypeStruct((rows, 8), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -108,14 +125,14 @@ def quantize_vec_pallas(xp: jax.Array, length: int, bits: int, key=None):
     n_pad = xp.shape[-1]
     seed, noise = seed_from(key)
     call = _build_qvec(n_pad, bits, noise, pallas_interpret())
-    codes, scales = call(seed, xp.reshape(n_pad // BLOCK, BLOCK))
+    codes, scales = call(seed, xp.reshape(n_pad // (8 * BLOCK), 8 * BLOCK))
     cls = QVec4 if bits == 4 else QVec8
     return cls(codes=codes.reshape(-1), scales=scales.reshape(-1),
                length=length)
 
 
 def quantize_vec_pallas_eligible(n_pad: int) -> bool:
-    return n_pad % BLOCK == 0
+    return n_pad % (8 * BLOCK) == 0
 
 
 # ---------------------------------------------------------------------------
@@ -210,46 +227,56 @@ def quantize_mat_pallas_eligible(m_pad: int, n_pad: int) -> bool:
 
 def _axpy_kernel(seed_ref, alpha_ref, uc_ref, us_ref, vc_ref, vs_ref,
                  codes_ref, scales_ref, *, bits, noise):
+    """Tiles are (RT, 8 blocks) wide like the quantize kernel; per-block
+    work is static 64- (or packed 32-) lane slices.  Product order matches
+    the golden oracle: u_hat + alpha * (codes * (scale/qmax))."""
     i = pl.program_id(0)
     qm = QMAX[bits]
-    if bits == 4:
-        uf = _unpack_cols_f32(uc_ref[:])             # f32[RT, 64]
-        vf = _unpack_cols_f32(vc_ref[:])
-    else:
-        uf = uc_ref[:].astype(jnp.float32)
-        vf = vc_ref[:].astype(jnp.float32)
-    # dequant + FMA; product order matches the golden oracle:
-    # u_hat + alpha * v_hat with v_hat = codes * (scale/qmax)
-    x = (uf * (us_ref[:] / qm)
-         + alpha_ref[0] * (vf * (vs_ref[:] / qm)))
-    s = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    s = jnp.where(s == 0.0, 1.0, s)
-    u = _noise_u(x.shape, seed_ref, i, noise)
-    q = _sr(x, qm / s, qm, u)
-    codes_ref[:] = _pack_cols(q) if bits == 4 else q.astype(jnp.int8)
-    scales_ref[:] = s
+    w = HALF if bits == 4 else BLOCK
+    u = _noise_u((uc_ref.shape[0], GRP * BLOCK), seed_ref, i, noise)
+    cs, ss = [], []
+    for b in range(GRP):
+        ucb = uc_ref[:, b * w:(b + 1) * w]
+        vcb = vc_ref[:, b * w:(b + 1) * w]
+        if bits == 4:
+            uf = _unpack_cols_f32(ucb)               # f32[RT, 64]
+            vf = _unpack_cols_f32(vcb)
+        else:
+            uf = ucb.astype(jnp.float32)
+            vf = vcb.astype(jnp.float32)
+        us = us_ref[:, b:b + 1] / qm
+        vs = vs_ref[:, b:b + 1] / qm
+        x = uf * us + alpha_ref[0] * (vf * vs)
+        s = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        s = jnp.where(s == 0.0, 1.0, s)
+        ub = u if not noise else u[:, b * BLOCK:(b + 1) * BLOCK]
+        q = _sr(x, qm / s, qm, ub)
+        cs.append(_pack_cols(q) if bits == 4 else q.astype(jnp.int8))
+        ss.append(s)
+    codes_ref[:] = jnp.concatenate(cs, axis=1)
+    scales_ref[:] = jnp.concatenate(ss, axis=1)
 
 
 @lru_cache(maxsize=64)
 def _build_axpy(n_pad: int, bits: int, noise: bool, interpret: bool):
-    nb = n_pad // BLOCK
-    rt = next(r for r in (512, 256, 128, 64, 32, 16, 8, nb) if nb % r == 0)
-    w = HALF if bits == 4 else BLOCK
+    rows = n_pad // (GRP * BLOCK)
+    rt = _pick_rt(rows)
+    w = (HALF if bits == 4 else BLOCK) * GRP
     cspec = pl.BlockSpec((rt, w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((rt, 1), lambda i, *_: (i, 0),
+    sspec = pl.BlockSpec((rt, GRP), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_axpy_kernel, bits=bits, noise=noise),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,        # seed, alpha
-            grid=(nb // rt,),
+            grid=(rows // rt,),
             in_specs=[cspec, sspec, cspec, sspec],
             out_specs=[cspec, sspec],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((nb, w), jnp.int8),
-            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, w), jnp.int8),
+            jax.ShapeDtypeStruct((rows, GRP), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -265,13 +292,17 @@ def axpy_pallas(u, v, alpha, key=None):
     seed, noise = seed_from(key)
     alpha = jnp.asarray([alpha], jnp.float32)
     call = _build_axpy(n_pad, bits, noise, pallas_interpret())
-    codes, scales = call(seed, alpha,
-                         u.codes.reshape(nb, w), u.scales.reshape(nb, 1),
-                         v.codes.reshape(nb, w), v.scales.reshape(nb, 1))
+    rows = n_pad // (GRP * BLOCK)
+    wg = w * GRP
+    codes, scales = call(
+        seed, alpha,
+        u.codes.reshape(rows, wg), u.scales.reshape(rows, GRP),
+        v.codes.reshape(rows, wg), v.scales.reshape(rows, GRP))
     return type(u)(codes=codes.reshape(-1), scales=scales.reshape(-1),
                    length=u.length)
 
 
 def axpy_pallas_eligible(u, v) -> bool:
     return (type(u) is type(v) and isinstance(u, (QVec4, QVec8))
-            and u.length_pad == v.length_pad)
+            and u.length_pad == v.length_pad
+            and u.length_pad % (GRP * BLOCK) == 0)

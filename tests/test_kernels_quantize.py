@@ -17,7 +17,7 @@ from clover_tpu.kernels.quantize import (
 
 
 @pytest.mark.parametrize("bits", [4, 8])
-@pytest.mark.parametrize("n", [128, 192, 512, 1000])
+@pytest.mark.parametrize("n", [512, 1000, 1024, 4096])
 def test_quantize_vec_kernel_bitexact(rng, bits, n):
     x = (rng.random(n, dtype=np.float32) * 2 - 1)
     xp = pad_vector(jnp.asarray(x))
@@ -42,7 +42,7 @@ def test_quantize_mat_kernel_bitexact(rng, bits, shape):
 
 
 @pytest.mark.parametrize("bits", [4, 8])
-@pytest.mark.parametrize("n", [128, 448, 1024])
+@pytest.mark.parametrize("n", [512, 1000, 1024])
 def test_axpy_kernel_bitexact(rng, bits, n):
     x = (rng.random(n, dtype=np.float32) * 2 - 1)
     y = (rng.random(n, dtype=np.float32) * 2 - 1)
