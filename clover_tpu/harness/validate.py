@@ -163,12 +163,25 @@ class Validator:
             f"transpose {bits:2d}-bit {m}x{n}", ok)
 
 
+TPU_VEC_SIZES = [128, 129, 191, 192, 512, 1000, 1024, 2047]
+TPU_MAT_SHAPES = [(128, 128), (256, 384), (512, 1024), (1000, 200)]
+
+
 def run_validation(full: bool = False, seed: int = 1, log=print) -> bool:
+    import jax
     rng = np.random.default_rng(seed)
     v = Validator(log=log)
-    vec_sizes = (list(range(128, 2048)) if full else DEFAULT_VEC_SIZES)
-    mat_shapes = DEFAULT_MAT_SHAPES if not full else [
-        (mm, nn) for mm in range(128, 1281, 128) for nn in range(128, 1281, 128)]
+    on_tpu = jax.default_backend() == "tpu"
+    if full:
+        vec_sizes = list(range(128, 2048))
+        mat_shapes = [(mm, nn) for mm in range(128, 1281, 128)
+                      for nn in range(128, 1281, 128)]
+    elif on_tpu:
+        # every distinct shape is an XLA compile (~seconds on the TPU);
+        # cover the padding phases with a compact set by default
+        vec_sizes, mat_shapes = TPU_VEC_SIZES, TPU_MAT_SHAPES
+    else:
+        vec_sizes, mat_shapes = DEFAULT_VEC_SIZES, DEFAULT_MAT_SHAPES
 
     for n in vec_sizes:
         for bits in (4, 8):
