@@ -206,15 +206,18 @@ def _kernel_4x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
         wlo_c[k] = _block_diag(xlo, nb, HALF)
 
     p = a_ref[:]
+    # two masked planes -> two matmuls (vs p/lou/lou x three):
+    # (p & 0xF0) = 16*h exactly, so hi16 @ W_hi = 16 * sum(h * x_hi)
+    hi16 = jnp.bitwise_and(p, jnp.int8(-16))
     lou = jnp.bitwise_and(p, jnp.int8(0x0F))
     dn = (((1,), (0,)), ((), ()))
-    whi, wlo = whi_c[k], wlo_c[k]
-    mm1 = jax.lax.dot_general(p, whi, dn, preferred_element_type=jnp.int32)
-    mm2a = jax.lax.dot_general(lou, whi, dn, preferred_element_type=jnp.int32)
-    mm2b = jax.lax.dot_general(lou, wlo, dn, preferred_element_type=jnp.int32)
-    hh = jax.lax.shift_right_arithmetic(mm1 - mm2a, 4)      # sum h * x_hi
+    mm_h = jax.lax.dot_general(hi16, whi_c[k], dn,
+                               preferred_element_type=jnp.int32)
+    mm_l = jax.lax.dot_general(lou, wlo_c[k], dn,
+                               preferred_element_type=jnp.int32)
+    hh = jax.lax.shift_right_arithmetic(mm_h, 4)            # sum h * x_hi
     colsum = jnp.sum(xlo.astype(jnp.int32), axis=1).astype(jnp.float32)
-    t = (hh + mm2b).astype(jnp.float32) - 8.0 * colsum[None, :]
+    t = (hh + mm_l).astype(jnp.float32) - 8.0 * colsum[None, :]
     combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 127.0), flat)
     acc_ref[:] += t * combe
 
