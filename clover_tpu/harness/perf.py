@@ -193,6 +193,50 @@ def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
             _row(log, f"threshold {bits:2d}-bit n={n}", 2 * q.nbytes, dt)
 
 
+def bench_transpose(log, sizes=MVM_SIZES):
+    """Matrix transpose sweep (reference: performance.txt:508-560 — the
+    4-bit nibble-shuffle transpose runs ~1x fp32 there; here both are
+    XLA relayouts and the quantized one moves 8x fewer bytes)."""
+    log("\n== transpose — bytes = 1 matrix read + 1 write")
+    rng = np.random.default_rng(0)
+    for n in sizes:
+        A = jnp.asarray(rng.random((n, n), dtype=np.float32) * 2 - 1)
+
+        def make32(iters):
+            @jax.jit
+            def g(A):
+                def body(i, a):
+                    return jnp.transpose(a) + i * jnp.float32(1e-30)
+                return jnp.sum(jax.lax.fori_loop(0, iters, body, A)[0, :1])
+            return lambda: float(g(A))
+        t32 = chain_time(make32)
+        _row(log, f"transpose 32-bit n={n}", 8 * n * n, t32)
+
+        for bits in (4, 8, 16):
+            qA = ct.quantize(A, bits)
+
+            def make(iters):
+                @jax.jit
+                def g(qA):
+                    def body(i, q):
+                        qt = ct.transpose(q)
+                        if bits == 16:
+                            vals = qt.values + jnp.float16(i * 0)
+                            return type(q)(values=vals, rows=qt.rows,
+                                           cols=qt.cols)
+                        codes = qt.codes ^ (i & 0)
+                        return type(q)(codes=codes, scales=qt.scales,
+                                       rows=qt.rows, cols=qt.cols)
+                    out = jax.lax.fori_loop(0, iters, body, qA)
+                    if bits == 16:
+                        return jnp.sum(out.values[0, :1].astype(jnp.float32))
+                    return jnp.sum(out.codes[0, :1].astype(jnp.float32))
+                return lambda: float(g(qA))
+            dt = chain_time(make)
+            _row(log, f"transpose {bits:2d}-bit n={n}", 2 * qA.nbytes, dt,
+                 t32)
+
+
 def bench_iht(log, sizes=IHT_SIZES):
     log("\n== IHT end-to-end (iters/s; bytes = 2 matrix streams / iter)")
     from ..models.solvers import _solve
@@ -229,4 +273,5 @@ def run_perf(log=print, quick: bool = False):
     bench_axpy(log, vec)
     bench_threshold(log, vec[:2])
     bench_mvm(log, mvm)
+    bench_transpose(log, mvm)
     bench_iht(log, iht)

@@ -2,24 +2,28 @@
 CloverVector8.h:911-977 — the `maddubs` blocked dot, and the reference's
 FIRST headline benchmark: 4-bit dot up to 9.56x over fp32).
 
-TPU-native design (measured best of three): the matrix stream stays
-int8 end-to-end — per sub-chunk of C blocks, masked NT matmuls on the MXU
-compute all pairwise block products and the needed per-block dots are the
-DIAGONAL, extracted as a lane-aligned (1, C) COLUMN-sum of M * eye(C).
-For packed 4-bit (byte = 16*hi + lo+8):
+TPU-native design (measured best of the alternatives): whole-tile
+ELEMENTWISE pipeline at full lane width — 1024-lane int8 tiles, one
+bitwise-AND per nibble plane, direct int8->f32 converts, one f32
+multiply per plane; per-block sums come from either a 0/1
+block-indicator matmul at HIGHEST precision (4-bit — exact: int-valued
+f32 products split into bf16 chunks losslessly) or static 64-lane slice
+reductions (8-bit).  For packed 4-bit (byte = 16*hi + lo+8):
 
-    diag((pu & 0xF0) @ (pv & 0xF0)^T) = 256 * sum(hi_u*hi_v)
-    diag((pu & 15) @ (pv & 15)^T)     = sum((lo_u+8)*(lo_v+8))
-    sum(lo_u*lo_v) = diag2 - 8*R_u - 8*R_v + 2048
+    (p & 0xF0) as int8 = 16*h  ->  (hu*hv)/256 = h_u*h_v   exactly
+    (p & 15) - 8.0     = lo    ->  lu*lv                    exactly
 
-Scales stream as (1, n/64) row vectors (a (blocks, 1) layout degrades the
-DMA ~100x — measured).  Alternatives measured slower: elementwise int32
-widening caps at ~95 GB/s of VPU convert throughput; Mosaic has no int8
-mul/sub so a pure-int8 elementwise product is impossible.
+Alternatives measured slower on the v5e: diag-of-NT-matmuls (the MXU
+does the products but extracting the diagonal costs ~3*C VPU int32 ops
+per C-block chunk — 0.35 ms vs 0.067 ms at n=16M 4-bit); per-block
+64-lane slice pipelines (4x lane-padding waste); elementwise int32
+widening (sublane relayout bound).
 
-Everything accumulates per block exactly in int32; the f32 scale combine
-(s_u*s_v/qmax^2 per block) matches the reference's semantics (its own
-validation allows |delta| <= 0.02 for reordered accumulation,
+Scales stream as (rows, blocks/row) grids matching the code tiles (a
+(blocks, 1) layout degrades the DMA ~100x — measured).  Per-block sums
+are EXACT int32-valued f32 (products <= 2^14, block sums < 2^24); only
+the final f32 scale-combine order differs from the golden oracle (its
+own validation allows |delta| <= 0.02 for reordered accumulation,
 test/validate/02_vector.cpp:280-283).
 """
 
@@ -36,109 +40,84 @@ from ..formats import BLOCK, QVec4, QVec8
 from .dispatch import pallas_interpret
 
 HALF = BLOCK // 2
-_C = 512          # blocks per NT matmul
+# Tile rows per grid step: 8-bit tiles are twice as wide per block, so a
+# 2048-row tile overflows the 16M scoped-vmem budget when compiled
+# standalone (the f32 product intermediates dominate); 1024 measured
+# within 1% of 2048 anyway.
+RT_CAP = {4: 2048, 8: 1024}
 
 
+def _block_indicator(w: int, nbpr: int):
+    """(w*nbpr, nbpr) f32 0/1: column b selects lanes [b*w, (b+1)*w)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (w * nbpr, nbpr), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (w * nbpr, nbpr), 1)
+    return jnp.where(r // w == c, 1.0, 0.0)
 
 
-def _diag_cols(m, c):
-    """(C, C) int32 -> (1, C) diagonal via eye-mask + column reduce."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    return jnp.sum(jnp.where(r == cc, m, 0), axis=0, keepdims=True)
-
-
-def _dot4_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *,
-                 sub, nsub):
+def _dot4_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
     i = pl.program_id(0)
-    ni = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _():
         acc_ref[0, 0] = jnp.float32(0.0)
 
-    dn_nt = (((1,), (1,)), ((), ()))
-    total = jnp.float32(0.0)
-    for s in range(nsub):
-        sl = slice(s * sub, (s + 1) * sub)
-        lsl = slice(s * sub, (s + 1) * sub)          # lane slice for scales
-        pu, pv = u_ref[sl, :], v_ref[sl, :]
-        hu = jnp.bitwise_and(pu, jnp.int8(-16))
-        hv = jnp.bitwise_and(pv, jnp.int8(-16))
-        lu = jnp.bitwise_and(pu, jnp.int8(0x0F))
-        lv = jnp.bitwise_and(pv, jnp.int8(0x0F))
-        m1 = jax.lax.dot_general(hu, hv, dn_nt,
-                                 preferred_element_type=jnp.int32)
-        m2 = jax.lax.dot_general(lu, lv, dn_nt,
-                                 preferred_element_type=jnp.int32)
-        d_hi = jax.lax.shift_right_arithmetic(_diag_cols(m1, sub), 8)
-        d_lo = _diag_cols(m2, sub)
-        # rowsums of the biased low nibbles, moved to lanes via the same
-        # eye trick: sum_j lu[b, j] as (1, C)
-        ru = _diag_cols(jax.lax.dot_general(
-            lu, jnp.broadcast_to(jnp.int8(1), lv.shape), dn_nt,
-            preferred_element_type=jnp.int32), sub)
-        rv = _diag_cols(jax.lax.dot_general(
-            jnp.broadcast_to(jnp.int8(1), lu.shape), lv, dn_nt,
-            preferred_element_type=jnp.int32), sub)
-        blk = d_hi + d_lo - 8 * (ru + rv) + 2048      # (1, C) exact int32
-        comb = us_ref[:, lsl] * vs_ref[:, lsl] * (1.0 / 49.0)
-        total += jnp.sum(comb * blk.astype(jnp.float32))
-    acc_ref[0, 0] += total
+    pu, pv = u_ref[:], v_ref[:]                      # (RT, 32*nbpr) int8
+    hu = jnp.bitwise_and(pu, jnp.int8(-16)).astype(jnp.float32)
+    hv = jnp.bitwise_and(pv, jnp.int8(-16)).astype(jnp.float32)
+    lu = jnp.bitwise_and(pu, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
+    lv = jnp.bitwise_and(pv, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
+    P = hu * hv * (1.0 / 256.0) + lu * lv            # exact int-valued f32
+    bs = jax.lax.dot(P, _block_indicator(HALF, nbpr),
+                     precision=jax.lax.Precision.HIGHEST)   # (RT, nbpr)
+    comb = us_ref[:] * vs_ref[:] * (1.0 / 49.0)
+    acc_ref[0, 0] += jnp.sum(bs * comb)
 
-    @pl.when(i == ni - 1)
+    @pl.when(i == pl.num_programs(0) - 1)
     def _():
         out_ref[0, 0] = acc_ref[0, 0]
 
 
-def _dot8_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *,
-                 sub, nsub):
+def _dot8_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
     i = pl.program_id(0)
-    ni = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _():
         acc_ref[0, 0] = jnp.float32(0.0)
 
-    dn_nt = (((1,), (1,)), ((), ()))
-    total = jnp.float32(0.0)
-    for s in range(nsub):
-        sl = slice(s * sub, (s + 1) * sub)
-        m = jax.lax.dot_general(u_ref[sl, :], v_ref[sl, :], dn_nt,
-                                preferred_element_type=jnp.int32)
-        blk = _diag_cols(m, sub)
-        comb = (us_ref[:, sl] * vs_ref[:, sl]
-                * (1.0 / (127.0 * 127.0)))
-        total += jnp.sum(comb * blk.astype(jnp.float32))
-    acc_ref[0, 0] += total
+    P = u_ref[:].astype(jnp.float32) * v_ref[:].astype(jnp.float32)
+    bs = jnp.concatenate(
+        [jnp.sum(P[:, b * BLOCK:(b + 1) * BLOCK], axis=1, keepdims=True)
+         for b in range(nbpr)], axis=1)              # (RT, nbpr)
+    comb = us_ref[:] * vs_ref[:] * (1.0 / (127.0 * 127.0))
+    acc_ref[0, 0] += jnp.sum(bs * comb)
 
-    @pl.when(i == ni - 1)
+    @pl.when(i == pl.num_programs(0) - 1)
     def _():
         out_ref[0, 0] = acc_ref[0, 0]
 
 
 @lru_cache(maxsize=64)
 def _build(bits: int, nb_total: int, interpret: bool):
-    sub = next(c for c in (128, 64, 32, 16, 8, nb_total)
-               if nb_total % c == 0)
-    s_blocks = next(s for s in (sub * 16, sub * 8, sub)
-                    if nb_total % s == 0)
-    nsub = s_blocks // sub
     w = HALF if bits == 4 else BLOCK
-    cspec = pl.BlockSpec((s_blocks, w), lambda i: (i, 0),
+    nbpr = next(c for c in (1024 // w, 512 // w, 256 // w, 128 // w, 1)
+                if nb_total % c == 0)
+    rows = nb_total // nbpr
+    cap = RT_CAP[bits]
+    rt = next(r for r in (cap, 1024, 512, 256, 128, 64, 32, 16, 8, rows)
+              if r <= cap and rows % r == 0)
+    cspec = pl.BlockSpec((rt, nbpr * w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, s_blocks), lambda i: (0, i),
+    sspec = pl.BlockSpec((rt, nbpr), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_dot4_kernel if bits == 4 else _dot8_kernel,
-                sub=sub, nsub=nsub),
-        grid=(nb_total // s_blocks,),
+        partial(_dot4_kernel if bits == 4 else _dot8_kernel, nbpr=nbpr),
+        grid=(rows // rt,),
         in_specs=[cspec, cspec, sspec, sspec],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
-    )
+    ), rows, nbpr
 
 
 def dot_pallas(u, v) -> jax.Array:
@@ -146,9 +125,10 @@ def dot_pallas(u, v) -> jax.Array:
     bits = u.bits
     nb = u.length_pad // BLOCK
     w = HALF if bits == 4 else BLOCK
-    call = _build(bits, nb, pallas_interpret())
-    out = call(u.codes.reshape(nb, w), v.codes.reshape(nb, w),
-               u.scales.reshape(1, nb), v.scales.reshape(1, nb))
+    call, rows, nbpr = _build(bits, nb, pallas_interpret())
+    out = call(u.codes.reshape(rows, nbpr * w),
+               v.codes.reshape(rows, nbpr * w),
+               u.scales.reshape(rows, nbpr), v.scales.reshape(rows, nbpr))
     return out[0, 0]
 
 

@@ -12,9 +12,14 @@ so quantize runs at the f32-read roofline and AXPY at the codes roofline.
 
 Layout convention: a padded vector is processed as a 2-D (n/512, 512)
 view — EIGHT blocks per row so tiles span all 128 lanes (a (n/64, 64)
-layout runs the VPU at half width and was measured ~4x slower); per-block
-work uses static 64-lane slices, like the matrix kernel.  Scale I/O uses
-lane-major layouts ((blocks,1)-shaped streams degrade the DMA ~100x).
+layout runs the VPU at half width and was measured ~4x slower).  All
+arithmetic (dequant, FMA, SR) runs WHOLE-TILE: per-block scales are
+expanded to full lane width by exact chained selects (`_expand_scales`)
+and, for 4-bit, the packed hi/lo nibble planes are processed as two
+full-width f32 arrays (no int32 widening, no lane concats — measured
+~4x over per-block 64-lane slicing).  Only per-block absmax and the
+4-bit nibble pack touch 64-lane slices.  Scale I/O uses lane-major
+layouts ((blocks,1)-shaped streams degrade the DMA ~100x).
 """
 
 from __future__ import annotations
@@ -54,14 +59,6 @@ def _pack_cols(q):
     return jnp.bitwise_or(lo, hi).astype(jnp.int8)
 
 
-def _unpack_cols_f32(p):
-    """packed int8[R, 32] -> f32[R, 64] code values (deinterleaved)."""
-    p32 = p.astype(jnp.int32)
-    hi = jax.lax.shift_right_arithmetic(p32, 4)
-    lo = jnp.bitwise_and(p32, 15) - 8
-    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
-
-
 # ---------------------------------------------------------------------------
 # Vector quantize
 # ---------------------------------------------------------------------------
@@ -70,21 +67,21 @@ GRP = 8                      # blocks per tile row (8 * 64 = 512 lanes)
 
 
 def _qvec_kernel(seed_ref, x_ref, codes_ref, scales_ref, *, bits, noise):
+    """Whole-tile quantize: absmax/SR run at full lane width; only the
+    4-bit nibble pack slices per block (interleaved lo/hi 32-groups)."""
     i = pl.program_id(0)
     x = x_ref[:]                                     # f32[RT, 512]
     qm = QMAX[bits]
-    u = _noise_u(x.shape, seed_ref, i, noise)
-    cs, ss = [], []
-    for b in range(GRP):
-        xb = x[:, b * BLOCK:(b + 1) * BLOCK]
-        s = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
-        s = jnp.where(s == 0.0, 1.0, s)
-        ub = u if not noise else u[:, b * BLOCK:(b + 1) * BLOCK]
-        q = _sr(xb, qm / s, qm, ub)
-        cs.append(_pack_cols(q) if bits == 4 else q.astype(jnp.int8))
-        ss.append(s)
-    codes_ref[:] = jnp.concatenate(cs, axis=1)       # (RT, 256 or 512)
-    scales_ref[:] = jnp.concatenate(ss, axis=1)      # (RT, 8)
+    s = _block_absmax(jnp.abs(x), BLOCK)             # (RT, 8)
+    me = _expand_scales(qm / s, BLOCK)               # (RT, 512)
+    q = _sr(x, me, qm, _noise_u(x.shape, seed_ref, i, noise))
+    if bits == 4:
+        codes_ref[:] = jnp.concatenate(
+            [_pack_cols(q[:, b * BLOCK:(b + 1) * BLOCK])
+             for b in range(GRP)], axis=1)           # (RT, 256)
+    else:
+        codes_ref[:] = q.astype(jnp.int8)            # (RT, 512)
+    scales_ref[:] = s
 
 
 def _pick_rt(rows: int) -> int:
@@ -146,23 +143,21 @@ def _qmat_kernel(seed_ref, a_ref, codes_ref, scales_ref, *, tm, tn,
     i, j = pl.program_id(0), pl.program_id(1)
     a = a_ref[:]                                     # f32[TM, TN]
     tnb = tn // BLOCK
-    # rowwise 64-group reduce via a sublane reshape (supported), then
-    # per-block lane maxes via static slices
-    r1 = jnp.max(jnp.abs(a).reshape(tm // BLOCK, BLOCK, tn), axis=1)
-    s = jnp.concatenate(
-        [jnp.max(r1[:, b * BLOCK:(b + 1) * BLOCK], axis=1, keepdims=True)
-         for b in range(tnb)], axis=1)               # (TM/64, TN/64)
-    s = jnp.where(s == 0.0, 1.0, s)
     qm = QMAX[bits]
-    mrow = jnp.repeat(qm / s, BLOCK, axis=0)         # (TM, TN/64), sublanes
+    # rowwise 64-group reduce via a sublane reshape (supported), then
+    # per-block lane maxes; SR runs whole-tile with the multiplier
+    # expanded exactly along both dims (sublane repeat + lane selects)
+    r1 = jnp.max(jnp.abs(a).reshape(tm // BLOCK, BLOCK, tn), axis=1)
+    s = _block_absmax(r1, BLOCK)                     # (TM/64, TN/64)
+    me = jnp.repeat(_expand_scales(qm / s, BLOCK), BLOCK, axis=0)
     u = _noise_u(a.shape, seed_ref, i * pl.num_programs(1) + j, noise)
-    qs = []
-    for b in range(tnb):
-        ab = a[:, b * BLOCK:(b + 1) * BLOCK]
-        ub = u if not noise else u[:, b * BLOCK:(b + 1) * BLOCK]
-        qb = _sr(ab, mrow[:, b:b + 1], qm, ub)       # (TM, 64)
-        qs.append(_pack_cols(qb) if bits == 4 else qb.astype(jnp.int8))
-    codes_ref[:] = jnp.concatenate(qs, axis=1)       # (TM, TN/2 or TN)
+    q = _sr(a, me, qm, u)                            # (TM, TN) int32
+    if bits == 4:
+        codes_ref[:] = jnp.concatenate(
+            [_pack_cols(q[:, b * BLOCK:(b + 1) * BLOCK])
+             for b in range(tnb)], axis=1)           # (TM, TN/2)
+    else:
+        codes_ref[:] = q.astype(jnp.int8)            # (TM, TN)
     scales_ref[0, 0] = s
 
 
@@ -225,36 +220,68 @@ def quantize_mat_pallas_eligible(m_pad: int, n_pad: int) -> bool:
 # Fused AXPY: r = Q(restore(u) + a * restore(v)) at u's precision
 # ---------------------------------------------------------------------------
 
+def _expand_scales(s, w: int):
+    """Exact lane expansion (RT, nbpr) -> (RT, nbpr*w): lane l gets
+    s[:, l // w].  Chained selects on lane iota — every lane value is a
+    bit-exact copy of the source scale (no matmul rounding)."""
+    rt, nbpr = s.shape
+    if nbpr == 1:
+        return jnp.broadcast_to(s, (rt, w))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rt, nbpr * w), 1)
+    z = jnp.broadcast_to(s[:, 0:1], (rt, nbpr * w))
+    for b in range(1, nbpr):
+        z = jnp.where(lane >= b * w,
+                      jnp.broadcast_to(s[:, b:b + 1], z.shape), z)
+    return z
+
+
+def _block_absmax(x, w: int):
+    """(RT, nbpr*w) -> (RT, nbpr) per-w-lane-group absmax (zero -> 1.0)."""
+    nbpr = x.shape[1] // w
+    s = jnp.concatenate(
+        [jnp.max(x[:, b * w:(b + 1) * w], axis=1, keepdims=True)
+         for b in range(nbpr)], axis=1)
+    return jnp.where(s == 0.0, 1.0, s)
+
+
 def _axpy_kernel(seed_ref, alpha_ref, uc_ref, us_ref, vc_ref, vs_ref,
                  codes_ref, scales_ref, *, bits, noise):
-    """Tiles are (RT, 8 blocks) wide like the quantize kernel; per-block
-    work is static 64- (or packed 32-) lane slices.  Product order matches
-    the golden oracle: u_hat + alpha * (codes * (scale/qmax))."""
+    """Whole-tile, plane-wise AXPY: for 4-bit the packed hi/lo nibble
+    planes are processed as two full-lane-width f32 arrays (no int32
+    widening, no lane concat — measured ~4x over the per-block-slice
+    form).  Product order matches the golden oracle:
+    u_hat + alpha * (codes * (scale/qmax))."""
     i = pl.program_id(0)
     qm = QMAX[bits]
-    w = HALF if bits == 4 else BLOCK
-    u = _noise_u((uc_ref.shape[0], GRP * BLOCK), seed_ref, i, noise)
-    cs, ss = [], []
-    for b in range(GRP):
-        ucb = uc_ref[:, b * w:(b + 1) * w]
-        vcb = vc_ref[:, b * w:(b + 1) * w]
-        if bits == 4:
-            uf = _unpack_cols_f32(ucb)               # f32[RT, 64]
-            vf = _unpack_cols_f32(vcb)
-        else:
-            uf = ucb.astype(jnp.float32)
-            vf = vcb.astype(jnp.float32)
-        us = us_ref[:, b:b + 1] / qm
-        vs = vs_ref[:, b:b + 1] / qm
-        x = uf * us + alpha_ref[0] * (vf * vs)
-        s = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-        s = jnp.where(s == 0.0, 1.0, s)
-        ub = u if not noise else u[:, b * BLOCK:(b + 1) * BLOCK]
-        q = _sr(x, qm / s, qm, ub)
-        cs.append(_pack_cols(q) if bits == 4 else q.astype(jnp.int8))
-        ss.append(s)
-    codes_ref[:] = jnp.concatenate(cs, axis=1)
-    scales_ref[:] = jnp.concatenate(ss, axis=1)
+    alpha = alpha_ref[0]
+    mu = _expand_scales(us_ref[:] / qm, HALF if bits == 4 else BLOCK)
+    mv = _expand_scales(vs_ref[:] / qm, HALF if bits == 4 else BLOCK)
+    if bits == 4:
+        pu, pv = uc_ref[:], vc_ref[:]                # (RT, GRP*32) int8
+        hu = jnp.bitwise_and(pu, jnp.int8(-16)).astype(jnp.float32) / 16.0
+        hv = jnp.bitwise_and(pv, jnp.int8(-16)).astype(jnp.float32) / 16.0
+        lu = jnp.bitwise_and(pu, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
+        lv = jnp.bitwise_and(pv, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
+        x_lo = lu * mu + alpha * (lv * mv)
+        x_hi = hu * mu + alpha * (hv * mv)
+        s = _block_absmax(jnp.maximum(jnp.abs(x_lo), jnp.abs(x_hi)), HALF)
+        me = _expand_scales(qm / s, HALF)
+        u_lo = _noise_u(x_lo.shape, seed_ref, 2 * i, noise)
+        u_hi = _noise_u(x_hi.shape, seed_ref, 2 * i + 1, noise)
+        q_lo = _sr(x_lo, me, qm, u_lo)
+        q_hi = _sr(x_hi, me, qm, u_hi)
+        lo = jnp.bitwise_and(q_lo + 8, 15)
+        hi = jnp.left_shift(jnp.bitwise_and(q_hi, 15), 4)
+        codes_ref[:] = jnp.bitwise_or(lo, hi).astype(jnp.int8)
+    else:
+        uf = uc_ref[:].astype(jnp.float32)
+        vf = vc_ref[:].astype(jnp.float32)
+        x = uf * mu + alpha * (vf * mv)
+        s = _block_absmax(jnp.abs(x), BLOCK)
+        me = _expand_scales(qm / s, BLOCK)
+        q = _sr(x, me, qm, _noise_u(x.shape, seed_ref, i, noise))
+        codes_ref[:] = q.astype(jnp.int8)
+    scales_ref[:] = s
 
 
 @lru_cache(maxsize=64)

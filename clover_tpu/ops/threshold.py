@@ -25,6 +25,29 @@ from ..formats import (
 from .quantize import restore_vec
 
 
+_CHUNK = 2048
+
+
+def _top_k_idx(vals: jax.Array, k: int) -> jax.Array:
+    """Indices of the top-k values; deterministic lower-index tie-break.
+
+    For large vectors a two-stage select (per-2048-chunk top-k, then
+    top-k over the C*k candidates) replaces the full-length sort — the
+    global top-k is always a subset of the per-chunk top-k's, and
+    ``lax.top_k``'s stable ordering preserves the lower-index tie-break
+    through both stages (candidates stay in (chunk, rank) order)."""
+    npad = vals.shape[-1]
+    if npad % _CHUNK or npad // _CHUNK < 4 or k > _CHUNK:
+        _, idx = jax.lax.top_k(vals, k)
+        return idx
+    c = npad // _CHUNK
+    pv, pi = jax.lax.top_k(vals.reshape(c, _CHUNK), k)     # (c, k)
+    base = (jnp.arange(c, dtype=jnp.int32) * _CHUNK)[:, None]
+    gidx = (pi.astype(jnp.int32) + base).reshape(-1)
+    _, sel = jax.lax.top_k(pv.reshape(-1), k)
+    return gidx[sel]
+
+
 def threshold(x, k: int):
     """Return x with all but its K largest-magnitude elements zeroed."""
     vals = jnp.abs(restore_vec(x).values)
@@ -33,7 +56,7 @@ def threshold(x, k: int):
     if x.length < npad:
         idx = jnp.arange(npad)
         vals = jnp.where(idx < x.length, vals, -1.0)
-    _, keep_idx = jax.lax.top_k(vals, k)
+    keep_idx = _top_k_idx(vals, k)
     mask = jnp.zeros((npad,), jnp.bool_).at[keep_idx].set(True)
 
     if isinstance(x, QVec4):
