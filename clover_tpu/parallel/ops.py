@@ -63,10 +63,12 @@ def threshold_global(x_local, k: int, axis: str):
     (shard, local rank), which coincides with global index order for
     equal values because the local top_k is index-stable.
     """
+    from ..ops.threshold import _top_k_idx
     local_len = x_local.length_pad
     my = jax.lax.axis_index(axis)
     vals = jnp.abs(restore_vec(x_local).values)
-    lv, li = jax.lax.top_k(vals, k)
+    li = _top_k_idx(vals, k)       # two-stage for large shards, stable
+    lv = vals[li]
     # gather candidates from all shards of `axis`
     gv = jax.lax.all_gather(lv, axis)              # (parts, k)
     gi = jax.lax.all_gather(li + 0, axis)          # local indices

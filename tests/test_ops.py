@@ -90,7 +90,7 @@ def test_scale_and_add_fp32_exact(rng):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("bits", [4, 8, 16, 32])
-@pytest.mark.parametrize("n", [128, 500, 1024])
+@pytest.mark.parametrize("n", [128, 500, 1024, 8192])  # 8192 -> two-stage
 def test_threshold_vs_golden(rng, bits, n):
     k = 32
     x = (rng.random(n, dtype=np.float32) * 2 - 1)
