@@ -17,7 +17,7 @@ from .timing import chain_time, gbs, pct_roofline
 
 VEC_SIZES = [1 << 16, 1 << 20, 1 << 22, 1 << 24]
 MVM_SIZES = [2048, 4096, 8192, 16384]
-IHT_SIZES = [(2048, 4096), (4096, 8192)]
+IHT_SIZES = [(2048, 4096), (4096, 8192), (8192, 16384)]
 
 
 def _row(log, name, nbytes, dt, base_dt=None):

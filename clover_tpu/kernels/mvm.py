@@ -79,16 +79,19 @@ def _pick_geometry(m_pad: int, n_pad: int, mode: str):
     if tm is None:
         return None
 
+    env_tk = os.environ.get("CLOVER_MVM_TK")
+
     def ok(tk):
         if n_pad % tk or (tk % 256 and tk != n_pad):
             return False
+        if env_tk and tk == int(env_tk):
+            return True                          # trust the override
         if tm * tk // pack > (4 << 20):          # A tile
             return False
         if n_pad * tk // 64 > (4 << 20):         # W scratch cache
             return False
         return True
 
-    env_tk = os.environ.get("CLOVER_MVM_TK")
     tk_choices = ((int(env_tk),) if env_tk else ())
     if n_pad <= _TK_MAX_SINGLE:
         tk_choices += (n_pad,)
