@@ -127,12 +127,23 @@ def bench_dot(log, sizes=VEC_SIZES):
         u = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
         v = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
 
+        # Dependency protocol: feed each dot's result back into ONE element
+        # of the carried operand with an in-place .at[] update (XLA keeps
+        # the loop carry buffer in place).  A whole-array perturbation
+        # (`v + s*eps` / `where(..., codes, codes^1)`) adds a full
+        # read+write of the operand per iteration and overstated dot time
+        # by ~1.5x; a scales-only perturbation lets XLA hoist the integer
+        # dot out of the loop entirely.
         def make32(iters):
             @jax.jit
             def g(u, v):
-                def body(i, s):
-                    return s + jnp.dot(u, v + s * 1e-30)
-                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+                def body(i, carry):
+                    v, s = carry
+                    d = jnp.dot(u, v, preferred_element_type=jnp.float32)
+                    return (v.at[0].add(d * 1e-37), s + d)
+                _, s = jax.lax.fori_loop(0, iters, body,
+                                         (v, jnp.float32(0)))
+                return s
             return lambda: float(g(u, v))
         t32 = chain_time(make32)
         _row(log, f"dot 32-bit n={n}", 8 * n, t32)
@@ -143,16 +154,17 @@ def bench_dot(log, sizes=VEC_SIZES):
             def make(iters):
                 @jax.jit
                 def g(qu, qv):
-                    def body(i, s):
-                        # feed the carry into the CODES (select fuses into
-                        # the dot's read) — a scales-only perturbation
-                        # lets XLA hoist the integer dot out of the loop
-                        codes = jnp.where(s < jnp.float32(1e30), qu.codes,
-                                          qu.codes ^ 1)
+                    def body(i, carry):
+                        codes, s = carry
                         qu2 = type(qu)(codes=codes, scales=qu.scales,
                                        length=qu.length)
-                        return s + ct.dot(qu2, qv) * 1e-30
-                    return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+                        d = ct.dot(qu2, qv)
+                        delta = jax.lax.convert_element_type(d * 1e-37,
+                                                             jnp.int8)
+                        return (codes.at[0].add(delta), s + d)
+                    _, s = jax.lax.fori_loop(0, iters, body,
+                                             (qu.codes, jnp.float32(0)))
+                    return s
                 return lambda: float(g(qu, qv))
             dt = chain_time(make)
             _row(log, f"dot {bits:2d}-bit n={n}", 2 * qu.nbytes, dt, t32)

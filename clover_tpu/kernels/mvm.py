@@ -60,26 +60,27 @@ _TK_CHOICES = (8192, 4096, 2048, 1024, 512)
 def _pick_geometry(m_pad: int, n_pad: int, mode: str):
     """Choose (TM, TK) under VMEM budgets.
 
-    Budgets: A tile (TM x TK/pack) <= 4 MB double-buffered; the in-VMEM
-    block-diagonal weight cache (built once per k on the first row sweep,
-    reused for every other row tile) <= ~4 MB total.
+    Measured rule (v5e sweep, doc/results): TM=1024 with the largest TK
+    that keeps the A tile at <= 4 MB wins across modes and sizes —
+    4x4 n=16K: (1024, 8192) 80.6% of roofline vs (2048, 4096) 75.6%,
+    (512, 8192) 71%; 8x8 n=16K: (1024, 4096) 90.6%.  Budgets: A tile
+    (TM x TK/pack) <= 4 MB double-buffered (the compiler's scoped-vmem
+    ceiling rejects 8 MB tiles); block-diagonal weight cache (built once
+    per k on the first row sweep, reused for every other row tile)
+    <= ~4 MB.
     """
     import os
     pack = 2 if mode in ("4x4", "4x8") else 1
     env_tm = os.environ.get("CLOVER_MVM_TM")
-    # TM=2048/TK=4096 measured best at n=16k (86.6% of the HBM roofline),
-    # but the grid needs >= ~8 row steps to hide the pipeline ramp at
-    # smaller m; pick the largest TM that keeps 8 steps, else the largest
-    # divisor.
-    sizes = (2048, 1024, 512, 256, 128)
-    tm_choices = ((int(env_tm),) if env_tm else ())
-    tm_choices += tuple(t for t in sizes if m_pad // t >= 8)
-    tm_choices += sizes
+    env_tk = os.environ.get("CLOVER_MVM_TK")
+    if env_tm and env_tk:
+        return int(env_tm), int(env_tk)          # trust full overrides
+
+    tm_choices = ((int(env_tm),) if env_tm
+                  else (1024, 512, 2048, 256, 4096, 128))
     tm = next((t for t in tm_choices if m_pad % t == 0), None)
     if tm is None:
         return None
-
-    env_tk = os.environ.get("CLOVER_MVM_TK")
 
     def ok(tk):
         if n_pad % tk or (tk % 256 and tk != n_pad):
@@ -222,11 +223,11 @@ def _kernel_4x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
     colsum = jnp.sum(xlo.astype(jnp.int32), axis=1).astype(jnp.float32)
     t = (hh + mm_l).astype(jnp.float32) - 8.0 * colsum[None, :]
     combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 127.0), flat)
-    acc_ref[:] += t * combe
+    acc_ref[:] += (t * combe).reshape(tm // BLOCK, BLOCK, -1)
 
     @pl.when(k == nk - 1)
     def _():
-        y2 = jnp.sum(acc_ref[:], axis=1).reshape(tm // BLOCK, BLOCK)
+        y2 = jnp.sum(acc_ref[:], axis=2)
         _requant_write(seed_ref, ycodes_ref, yscales_ref, y2,
                        out_bits, noise, i)
 
@@ -250,11 +251,12 @@ def _kernel_8x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
     mm = jax.lax.dot_general(a_ref[:], w_c[k], dn,
                              preferred_element_type=jnp.int32)
     combe = _combe(ascales_ref, xscales_ref, 1.0 / (127.0 * 127.0), flat)
-    acc_ref[:] += mm.astype(jnp.float32) * combe
+    acc_ref[:] += (mm.astype(jnp.float32) * combe).reshape(
+        tm // BLOCK, BLOCK, -1)
 
     @pl.when(k == nk - 1)
     def _():
-        y2 = jnp.sum(acc_ref[:], axis=1).reshape(tm // BLOCK, BLOCK)
+        y2 = jnp.sum(acc_ref[:], axis=2)
         _requant_write(seed_ref, ycodes_ref, yscales_ref, y2,
                        out_bits, noise, i)
 
@@ -298,11 +300,11 @@ def _kernel_4x4(seed_ref, a_ref, xc_ref, ascales_ref,
     # mm1 + mm2 == 16 * (T_b + 8*colsum(x_lo))
     t = (mm1 + mm2).astype(jnp.float32) - 128.0 * colsum[None, :]
     combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 7.0 * 16.0), flat)
-    acc_ref[:] += t * combe
+    acc_ref[:] += (t * combe).reshape(tm // BLOCK, BLOCK, -1)
 
     @pl.when(k == nk - 1)
     def _():
-        y2 = jnp.sum(acc_ref[:], axis=1).reshape(tm // BLOCK, BLOCK)
+        y2 = jnp.sum(acc_ref[:], axis=2)
         _requant_write(seed_ref, ycodes_ref, yscales_ref, y2,
                        out_bits, noise, i)
 
@@ -356,7 +358,9 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
         jax.ShapeDtypeStruct((gm, tm // BLOCK, 1), jnp.float32),
     ]
 
-    acc_scratch = pltpu.VMEM((tm, nb), jnp.float32)
+    # 3-D accumulator (bands, 64, nb): the final band reduce is a lane
+    # reduction instead of a 1-D sublane/lane relayout of (tm,)
+    acc_scratch = pltpu.VMEM((tm // BLOCK, BLOCK, nb), jnp.float32)
     w_scratch = pltpu.VMEM((gk, ka, nb), jnp.int8)
 
     common = dict(nb=nb, tm=tm, out_bits=out_bits, noise=noise,
