@@ -49,15 +49,19 @@ def bench_mvm_chain(qA, qx, sr: bool):
     """Per-op time of y <- mvm(A, y) in a dependent chain."""
     def make(iters):
         if sr:
+            # SR stream: carried int32 seed (the solvers' hot path,
+            # kernels/dispatch.seed_from) — one integer add per step,
+            # like the reference's in-kernel XORShift; a threefry
+            # jax.random.split per step costs ~15% of the MVM itself.
             @jax.jit
-            def g(qA, qx, key):
+            def g(qA, qx, seed):
                 def body(i, carry):
-                    x, key = carry
-                    key, sub = jax.random.split(key)
-                    return (ct.mvm(qA, x, key=sub), key)
-                x, _ = jax.lax.fori_loop(0, iters, body, (qx, key))
+                    x, seed = carry
+                    return (ct.mvm(qA, x, key=seed), seed + 40503)
+                x, _ = jax.lax.fori_loop(0, iters, body, (qx, seed))
                 return jnp.sum(x.scales)
-            return lambda: _median_time(g, qA, qx, jax.random.PRNGKey(0)), g
+            seed0 = jnp.asarray([12345], jnp.int32)
+            return lambda: _median_time(g, qA, qx, seed0), g
         @jax.jit
         def g(qA, qx):
             def body(i, x):
@@ -73,7 +77,12 @@ def bench_mvm_chain(qA, qx, sr: bool):
         float(g2(qA, qx, jax.random.PRNGKey(0)))
     else:
         float(g1(qA, qx)); float(g2(qA, qx))
-    return (t2f() - t1f()) / (K2 - K1)
+    # The chip drifts ±5-10% between runs and transiently glitches
+    # slower; median of three PAIRED diffs keeps both chain lengths in
+    # the same chip/tunnel state (independent per-chain minima can
+    # fabricate impossible rates).
+    diffs = sorted((t2f() - t1f()) / (K2 - K1) for _ in range(3))
+    return diffs[1]
 
 
 def bench_mvm_fp32(A, x):
@@ -109,7 +118,12 @@ def bench_iht_iters_per_sec(qphi, qphit, qy, k, mu, key):
             run(it)
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
-    per_iter = (timed(102) - timed(2)) / 100
+    # median-of-3 paired diffs: taking independent minima per chain
+    # lets tunnel-latency luck fabricate impossible rates (observed
+    # 74k iters/s = 2.4 TB/s); pairing keeps both ends in the same
+    # chip/tunnel state.
+    diffs = sorted((timed(102) - timed(2)) / 100 for _ in range(3))
+    per_iter = diffs[1]
     return 1.0 / max(per_iter, 1e-9)
 
 
