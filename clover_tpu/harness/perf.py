@@ -214,11 +214,14 @@ def bench_transpose(log, sizes=MVM_SIZES):
     for n in sizes:
         A = jnp.asarray(rng.random((n, n), dtype=np.float32) * 2 - 1)
 
+        # The chain dependency is the carry itself (q_{k+1} = T(q_k));
+        # no perturbation needed — an extra elementwise op would add a
+        # full matrix read+write per iteration.
         def make32(iters):
             @jax.jit
             def g(A):
                 def body(i, a):
-                    return jnp.transpose(a) + i * jnp.float32(1e-30)
+                    return jnp.transpose(a)
                 return jnp.sum(jax.lax.fori_loop(0, iters, body, A)[0, :1])
             return lambda: float(g(A))
         t32 = chain_time(make32)
@@ -231,14 +234,7 @@ def bench_transpose(log, sizes=MVM_SIZES):
                 @jax.jit
                 def g(qA):
                     def body(i, q):
-                        qt = ct.transpose(q)
-                        if bits == 16:
-                            vals = qt.values + jnp.float16(i * 0)
-                            return type(q)(values=vals, rows=qt.rows,
-                                           cols=qt.cols)
-                        codes = qt.codes ^ (i & 0)
-                        return type(q)(codes=codes, scales=qt.scales,
-                                       rows=qt.rows, cols=qt.cols)
+                        return ct.transpose(q)
                     out = jax.lax.fori_loop(0, iters, body, qA)
                     if bits == 16:
                         return jnp.sum(out.values[0, :1].astype(jnp.float32))

@@ -59,6 +59,30 @@ def _pack_cols(q):
     return jnp.bitwise_or(lo, hi).astype(jnp.int8)
 
 
+def _expand_scales(s, w: int):
+    """Exact lane expansion (RT, nbpr) -> (RT, nbpr*w): lane l gets
+    s[:, l // w].  Chained selects on lane iota — every lane value is a
+    bit-exact copy of the source scale (no matmul rounding)."""
+    rt, nbpr = s.shape
+    if nbpr == 1:
+        return jnp.broadcast_to(s, (rt, w))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rt, nbpr * w), 1)
+    z = jnp.broadcast_to(s[:, 0:1], (rt, nbpr * w))
+    for b in range(1, nbpr):
+        z = jnp.where(lane >= b * w,
+                      jnp.broadcast_to(s[:, b:b + 1], z.shape), z)
+    return z
+
+
+def _block_absmax(x, w: int):
+    """(RT, nbpr*w) -> (RT, nbpr) per-w-lane-group absmax (zero -> 1.0)."""
+    nbpr = x.shape[1] // w
+    s = jnp.concatenate(
+        [jnp.max(x[:, b * w:(b + 1) * w], axis=1, keepdims=True)
+         for b in range(nbpr)], axis=1)
+    return jnp.where(s == 0.0, 1.0, s)
+
+
 # ---------------------------------------------------------------------------
 # Vector quantize
 # ---------------------------------------------------------------------------
@@ -220,30 +244,6 @@ def quantize_mat_pallas_eligible(m_pad: int, n_pad: int) -> bool:
 # Fused AXPY: r = Q(restore(u) + a * restore(v)) at u's precision
 # ---------------------------------------------------------------------------
 
-def _expand_scales(s, w: int):
-    """Exact lane expansion (RT, nbpr) -> (RT, nbpr*w): lane l gets
-    s[:, l // w].  Chained selects on lane iota — every lane value is a
-    bit-exact copy of the source scale (no matmul rounding)."""
-    rt, nbpr = s.shape
-    if nbpr == 1:
-        return jnp.broadcast_to(s, (rt, w))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rt, nbpr * w), 1)
-    z = jnp.broadcast_to(s[:, 0:1], (rt, nbpr * w))
-    for b in range(1, nbpr):
-        z = jnp.where(lane >= b * w,
-                      jnp.broadcast_to(s[:, b:b + 1], z.shape), z)
-    return z
-
-
-def _block_absmax(x, w: int):
-    """(RT, nbpr*w) -> (RT, nbpr) per-w-lane-group absmax (zero -> 1.0)."""
-    nbpr = x.shape[1] // w
-    s = jnp.concatenate(
-        [jnp.max(x[:, b * w:(b + 1) * w], axis=1, keepdims=True)
-         for b in range(nbpr)], axis=1)
-    return jnp.where(s == 0.0, 1.0, s)
-
-
 def _axpy_kernel(seed_ref, alpha_ref, uc_ref, us_ref, vc_ref, vs_ref,
                  codes_ref, scales_ref, *, bits, noise):
     """Whole-tile, plane-wise AXPY: for 4-bit the packed hi/lo nibble
@@ -254,8 +254,9 @@ def _axpy_kernel(seed_ref, alpha_ref, uc_ref, us_ref, vc_ref, vs_ref,
     i = pl.program_id(0)
     qm = QMAX[bits]
     alpha = alpha_ref[0]
-    mu = _expand_scales(us_ref[:] / qm, HALF if bits == 4 else BLOCK)
-    mv = _expand_scales(vs_ref[:] / qm, HALF if bits == 4 else BLOCK)
+    w = HALF if bits == 4 else BLOCK
+    mu = _expand_scales(us_ref[:] / qm, w)
+    mv = _expand_scales(vs_ref[:] / qm, w)
     if bits == 4:
         pu, pv = uc_ref[:], vc_ref[:]                # (RT, GRP*32) int8
         hu = jnp.bitwise_and(pu, jnp.int8(-16)).astype(jnp.float32) / 16.0
