@@ -18,6 +18,8 @@ IHT_4BIT = {
     (512, 1024): {"K": 256, "quality": 0.7996521592140198, "mu": 0.0031909350263671877, "iters": 12, "mu_fast": 0.003427354231262207, "iters_fast": 2},
     (1024, 2048): {"K": 512, "quality": 0.8307579755783081, "mu": 0.0014658408203125, "iters": 15, "mu_fast": 0.0017256211845397946, "iters_fast": 2},
     (2048, 4096): {"K": 1024, "quality": 0.8058519959449768, "mu": 0.0009666230687500001, "iters": 6, "mu_fast": 0.0010050263122558596, "iters_fast": 3},
+    (4096, 8192): {"K": 2048, "quality": 0.8122503161430359, "mu": 0.0004704548, "iters": 5, "mu_fast": 0.0005050158681869508, "iters_fast": 1},
+    (8192, 16384): {"K": 4096, "quality": 0.8173967599868774, "mu": 0.0002365647, "iters": 6, "mu_fast": 0.0002138596817016602, "iters_fast": 2},
 }
 
 # mixed 4-bit matrix x 8-bit vector IHT
@@ -26,6 +28,8 @@ IHT_MIXED_4X8 = {
     (512, 1024): {"K": 256, "quality": 0.8081196546554565, "mu": 0.002436297863769531, "iters": 5, "mu_fast": 0.002417605884552002, "iters_fast": 1},
     (1024, 2048): {"K": 512, "quality": 0.824662446975708, "mu": 0.0012094936767578122, "iters": 7, "mu_fast": 0.0011734448596954345, "iters_fast": 1},
     (2048, 4096): {"K": 1024, "quality": 0.8076170682907104, "mu": 0.0007151098999023437, "iters": 6, "mu_fast": 0.0006325218692779542, "iters_fast": 1},
+    (4096, 8192): {"K": 2048, "quality": 0.8020535111427307, "mu": 0.0003235854, "iters": 5, "mu_fast": 0.0003254393535614014, "iters_fast": 1},
+    (8192, 16384): {"K": 4096, "quality": 0.8101211190223694, "mu": 0.0001550108, "iters": 5, "mu_fast": 0.0001565439699172974, "iters_fast": 1},
 }
 
 # pure 4-bit GD (row-normalized Phi; mu swept 0.05..0.95 by 0.05)
