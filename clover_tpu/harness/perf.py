@@ -277,7 +277,10 @@ def run_perf(log=print, quick: bool = False):
     iht = IHT_SIZES[:1] if quick else IHT_SIZES
     log(f"\n{'op':28s} {'time':>12} {'bandwidth':>14} {'%roof':>6} {'vs f32':>7}")
     bench_quantize(log, vec)
-    bench_dot(log, vec)
+    # the extra 2^25 dot size pushes the fp32 working set past the
+    # 128 MiB VMEM so its baseline is a real HBM number (smaller fp32
+    # vector chains run VMEM-resident — see the measurement notes)
+    bench_dot(log, vec if quick else vec + [1 << 25])
     bench_axpy(log, vec)
     bench_threshold(log, vec[:2])
     bench_mvm(log, mvm)

@@ -32,6 +32,22 @@ def median_time(fetch, reps: int = MEASURE_REPETITIONS) -> float:
     return float(np.median(ts))
 
 
+def _paired_diff(f2, f1, dk: int, reps: int) -> float:
+    """Median of PAIRED (long - short) chain diffs.
+
+    The chip drifts 5-10% between runs and transiently glitches slower;
+    differencing two independently-taken medians lets a glitch land on
+    only one side and fabricate impossible rates (observed >100% of
+    roofline).  Pairing keeps both chain lengths in the same
+    chip/tunnel state."""
+    ds = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); f2(); t2 = time.perf_counter() - t0
+        t0 = time.perf_counter(); f1(); t1 = time.perf_counter() - t0
+        ds.append((t2 - t1) / dk)
+    return float(np.median(ds))
+
+
 def chain_time(make_chain, k1: int = 1, k2: int | None = None,
                reps: int = MEASURE_REPETITIONS,
                target_s: float = 0.04) -> float:
@@ -56,11 +72,10 @@ def chain_time(make_chain, k1: int = 1, k2: int | None = None,
         est = max((median_time(fp, 3) - t1) / (probe_k - k1), 2e-8)
         k2 = min(max(probe_k, int(target_s / est)), 200_000)
         if k2 == probe_k:
-            return (median_time(fp, reps) - median_time(f1, reps)) / (
-                probe_k - k1)
+            return _paired_diff(fp, f1, probe_k - k1, reps)
     f2 = make_chain(k2)
     f2()
-    return (median_time(f2, reps) - median_time(f1, reps)) / (k2 - k1)
+    return _paired_diff(f2, f1, k2 - k1, reps)
 
 
 def gbs(nbytes: int, dt: float) -> float:
