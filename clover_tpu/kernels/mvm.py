@@ -64,10 +64,23 @@ def _pick_geometry(m_pad: int, n_pad: int, mode: str):
     that keeps the A tile at <= 4 MB wins across modes and sizes —
     4x4 n=16K: (1024, 8192) 80.6% of roofline vs (2048, 4096) 75.6%,
     (512, 8192) 71%; 8x8 n=16K: (1024, 4096) 90.6%.  Budgets: A tile
-    (TM x TK/pack) <= 4 MB double-buffered (the compiler's scoped-vmem
-    ceiling rejects 8 MB tiles); block-diagonal weight cache (built once
-    per k on the first row sweep, reused for every other row tile)
-    <= ~4 MB.
+    (TM x TK/pack) <= 4 MB double-buffered (bigger tiles need the raised
+    vmem_limit_bytes and compile 5-10x slower for ~no gain); block-
+    diagonal weight cache (built once per k on the first row sweep,
+    reused for every other row tile) <= ~4 MB.
+
+    Why 4x4 tops out ~5-10 points below 8x8 (ablations, v5e n=16K):
+    each packed byte needs TWO linear functionals (hi/lo nibble planes),
+    and an MXU pass costs 128 lane-slots per LHS row however many are
+    useful, so ANY block-diagonal formulation pays 2 x 128 MAC-slots
+    per byte — geometry-independent.  That MXU floor (~175 us at n=16K,
+    ~767 GB/s) sits just below the DMA floor; dropping one matmul
+    measures 755 GB/s (92%) vs ~640 (78%) for both, the full-tile int8
+    AND is free, and a single K-concatenated matmul is not faster.
+    Range analysis kills the escape hatches: packing two 64-blocks per
+    int8 weight column needs a 2^13 separation (int8 max 2^7), and the
+    bf16-with-2^12-separation variant halves the MXU rate for exactly
+    the slot saving it buys.
     """
     import os
     pack = 2 if mode in ("4x4", "4x8") else 1
@@ -271,7 +284,7 @@ def _unpack_x4(xc_ref):
 
 def _kernel_4x4(seed_ref, a_ref, xc_ref, ascales_ref,
                 xscales_ref, ycodes_ref, yscales_ref, acc_ref, whi_c, wmix_c,
-                *, nb, tm, out_bits, noise, flat):
+                colsum_c, *, nb, tm, out_bits, noise, flat):
     """Pure 4-bit x 4-bit (CloverMatrix4.h:777-1083).  x arrives PACKED
     (one 32-byte row per block); unpack is a few int32 ops on a tiny
     tile, done in-kernel so an MVM needs zero host-side prep of x."""
@@ -282,12 +295,13 @@ def _kernel_4x4(seed_ref, a_ref, xc_ref, ascales_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xhi, xlo = _unpack_x4(xc_ref)
-
-    @pl.when(i == 0)
+    @pl.when(i == 0)          # unpack x + build caches once per k-tile
     def _():
+        xhi, xlo = _unpack_x4(xc_ref)
         whi_c[k] = _block_diag(xhi, nb, HALF)
         wmix_c[k] = _block_diag(16 * xlo - xhi, nb, HALF)
+        colsum_c[k] = jnp.sum(xlo, axis=1,
+                              keepdims=True).astype(jnp.float32).T
 
     p = a_ref[:]
     lou = jnp.bitwise_and(p, jnp.int8(0x0F))
@@ -296,9 +310,8 @@ def _kernel_4x4(seed_ref, a_ref, xc_ref, ascales_ref,
                               preferred_element_type=jnp.int32)
     mm2 = jax.lax.dot_general(lou, wmix_c[k], dn,
                               preferred_element_type=jnp.int32)
-    colsum = jnp.sum(xlo, axis=1).astype(jnp.float32)
     # mm1 + mm2 == 16 * (T_b + 8*colsum(x_lo))
-    t = (mm1 + mm2).astype(jnp.float32) - 128.0 * colsum[None, :]
+    t = (mm1 + mm2).astype(jnp.float32) - 128.0 * colsum_c[k]
     combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 7.0 * 16.0), flat)
     acc_ref[:] += (t * combe).reshape(tm // BLOCK, BLOCK, -1)
 
@@ -368,7 +381,8 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
     if mode == "4x4":
         kernel = partial(_kernel_4x4, **common)
         in_specs = [a_spec, xc_spec(HALF), ascales_spec, xscales_spec]
-        scratch = [acc_scratch, w_scratch, w_scratch]
+        scratch = [acc_scratch, w_scratch, w_scratch,
+                   pltpu.VMEM((gk, 1, nb), jnp.float32)]
     elif mode == "4x8":
         kernel = partial(_kernel_4x8, **common)
         in_specs = [a_spec, xc_spec(BLOCK), ascales_spec, xscales_spec]
@@ -389,7 +403,8 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
     return call, tm, tk, flat
