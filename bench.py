@@ -78,11 +78,11 @@ def bench_mvm_chain(qA, qx, sr: bool):
     else:
         float(g1(qA, qx)); float(g2(qA, qx))
     # The chip drifts ±5-10% between runs and transiently glitches
-    # slower; median of three PAIRED diffs keeps both chain lengths in
+    # slower; median of five PAIRED diffs keeps both chain lengths in
     # the same chip/tunnel state (independent per-chain minima can
-    # fabricate impossible rates).
-    diffs = sorted((t2f() - t1f()) / (K2 - K1) for _ in range(3))
-    return diffs[1]
+    # fabricate impossible rates) and rides out one-off glitch rounds.
+    diffs = sorted((t2f() - t1f()) / (K2 - K1) for _ in range(5))
+    return diffs[2]
 
 
 def bench_mvm_fp32(A, x):
