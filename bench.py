@@ -27,7 +27,10 @@ import jax.numpy as jnp
 import clover_tpu as ct
 
 N = 16384
-K1, K2 = 1, 129
+# Chain lengths sized so the differenced signal (K2-K1 ops, ~50 ms)
+# dwarfs the ~30 ms tunnel round trip's multi-ms jitter; with short
+# chains that jitter once fabricated 68k IHT iters/s (= 2.3 TB/s).
+K1, K2 = 1, 257
 REPS = 7
 
 # TPU v5e HBM bandwidth (spec), the analog of the Xeon's 25.6 GB/s.
@@ -109,7 +112,7 @@ def bench_iht_iters_per_sec(qphi, qphit, qy, k, mu, key):
                      jnp.float32(mu), key)
         return float(jnp.sum(res.x.scales))
 
-    for it in (2, 102):
+    for it in (2, 402):
         run(it)  # compile
     def timed(it):
         ts = []
@@ -118,11 +121,11 @@ def bench_iht_iters_per_sec(qphi, qphit, qy, k, mu, key):
             run(it)
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
-    # median-of-3 paired diffs: taking independent minima per chain
-    # lets tunnel-latency luck fabricate impossible rates (observed
-    # 74k iters/s = 2.4 TB/s); pairing keeps both ends in the same
-    # chip/tunnel state.
-    diffs = sorted((timed(102) - timed(2)) / 100 for _ in range(3))
+    # median-of-3 paired diffs over a 400-iteration signal: pairing
+    # keeps both ends in the same chip/tunnel state (independent minima
+    # fabricated 74k iters/s = 2.4 TB/s), and the long chain keeps the
+    # ~30 ms round trip's jitter small relative to the signal.
+    diffs = sorted((timed(402) - timed(2)) / 400 for _ in range(3))
     per_iter = diffs[1]
     return 1.0 / max(per_iter, 1e-9)
 
