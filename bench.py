@@ -142,12 +142,15 @@ def main():
 
     t4_sr = bench_mvm_chain(qA4, qx4, sr=True)
     t4_det = bench_mvm_chain(qA4, qx4, sr=False)
-    t4 = min(t4_sr, t4_det) if t4_sr > 0 else t4_det
+    # ONE guarded headline time: the SR chain (the solver hot path), with
+    # the deterministic chain as fallback if jitter drove the SR diff
+    # non-positive.  Both pct and speedup derive from this same number.
+    t4 = t4_sr if t4_sr > 0 else max(t4_det, 1e-9)
     t48 = bench_mvm_chain(qA4, qx8, sr=False)
     t8 = bench_mvm_chain(qA8, qx8, sr=False)
 
     gbs = lambda nbytes, t: nbytes / t / 1e9
-    pct = 100.0 * gbs(qA4.nbytes, t4_sr if t4_sr > 0 else t4_det) * 1e9 / HBM_ROOFLINE
+    pct = 100.0 * gbs(qA4.nbytes, t4) * 1e9 / HBM_ROOFLINE
 
     t32 = bench_mvm_fp32(jnp.asarray(A), jnp.asarray(x))
     speedup = t32 / t4

@@ -97,14 +97,32 @@ def _dot8_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
 
 
 @lru_cache(maxsize=64)
-def _build(bits: int, nb_total: int, interpret: bool):
+def _geometry(bits: int, nb_total: int):
+    """(nbpr, rows, rt) tiling for nb_total blocks, or None when no
+    feasible tiling exists (the dispatch then falls back to the XLA
+    path instead of crashing — e.g. nb_total = 4098 has no row-tile
+    divisor in the candidate list)."""
     w = HALF if bits == 4 else BLOCK
     nbpr = next(c for c in (1024 // w, 512 // w, 256 // w, 128 // w, 1)
                 if nb_total % c == 0)
     rows = nb_total // nbpr
     cap = RT_CAP[bits]
-    rt = next(r for r in (cap, 1024, 512, 256, 128, 64, 32, 16, 8, rows)
-              if r <= cap and rows % r == 0)
+    rt = next((r for r in (cap, 1024, 512, 256, 128, 64, 32, 16, 8, rows)
+               if r <= cap and rows % r == 0), None)
+    if rt is None:
+        # largest sublane-aligned divisor of rows within the cap (Mosaic
+        # block shapes need rt % 8 == 0 unless rt == rows).
+        rt = next((r for r in range(cap - cap % 8, 7, -8)
+                   if rows % r == 0), None)
+        if rt is None:
+            return None
+    return nbpr, rows, rt
+
+
+@lru_cache(maxsize=64)
+def _build(bits: int, nb_total: int, interpret: bool):
+    w = HALF if bits == 4 else BLOCK
+    nbpr, rows, rt = _geometry(bits, nb_total)
     cspec = pl.BlockSpec((rt, nbpr * w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((rt, nbpr), lambda i: (i, 0),
@@ -134,4 +152,5 @@ def dot_pallas(u, v) -> jax.Array:
 
 def dot_pallas_eligible(u, v) -> bool:
     return (type(u) is type(v) and isinstance(u, (QVec4, QVec8))
-            and u.length_pad == v.length_pad)
+            and u.length_pad == v.length_pad
+            and _geometry(u.bits, u.length_pad // BLOCK) is not None)

@@ -54,7 +54,8 @@ def gemm_f32(A, B: jax.Array) -> jax.Array:
     """
     if isinstance(A, (QMat16, QMat32)):
         return jnp.dot(A.values.astype(jnp.float32), B,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     qa = _core.qmax(A.bits)
     m, n = A.rows_pad, A.cols_pad
     nb = n // BLOCK
@@ -63,10 +64,14 @@ def gemm_f32(A, B: jax.Array) -> jax.Array:
     a3 = codes.reshape(m, nb, BLOCK).astype(jnp.float32)
     b3 = B.reshape(nb, BLOCK, -1).astype(jnp.float32)
     # (nb, m, r) per-block partials in f32 (B stays full precision,
-    # matching the reference's dequant-on-the-fly x32 semantics)
+    # matching the reference's dequant-on-the-fly x32 semantics).
+    # HIGHEST keeps true f32 matmul mantissas — the TPU default would
+    # round the x32 path to bf16 precision (reference does f32 FMA).
     part = jax.lax.dot_general(
         a3, b3, (((2,), (1,)), ((1,), (0,))),
-        preferred_element_type=jnp.float32)            # (nb, m, r)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # (nb, m, r)
     scale = (A.scales / qa).astype(jnp.float32)        # (m/64, nb)
     se = jnp.repeat(scale, BLOCK, axis=0).T            # (nb, m)
-    return jnp.einsum("bmr,bm->mr", part, se)
+    return jnp.einsum("bmr,bm->mr", part, se,
+                      precision=jax.lax.Precision.HIGHEST)

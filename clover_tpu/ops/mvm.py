@@ -68,7 +68,10 @@ def mvm_f32(A, x) -> jax.Array:
     # fp paths: dequantize and use the MXU directly.
     af = restore_mat(A).values if not isinstance(A, QMat32) else A.values
     xf = restore_vec(x).values if not isinstance(x, QVec32) else x.values
-    return jnp.dot(af, xf, preferred_element_type=jnp.float32)
+    # HIGHEST: keep true f32 matvec mantissas (reference: MKL sgemv /
+    # f16-to-f32 FMA accumulation); a matvec is HBM-bound so this is free.
+    return jnp.dot(af, xf, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def mvm(A, x, key=None):

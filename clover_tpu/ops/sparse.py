@@ -53,7 +53,8 @@ def mvm_sparse(AT, x, k: int, key=None):
     else:
         rows = jnp.take(AT.values, idx, axis=0).astype(jnp.float32)
 
-    y32 = jnp.dot(vals, rows, preferred_element_type=jnp.float32)
+    y32 = jnp.dot(vals, rows, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     return _requant_output(y32, AT.cols, _out_bits_sparse(AT, x), key)
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 import jax
@@ -46,7 +47,12 @@ class MVMServer:
     # -- client API --------------------------------------------------------
 
     def submit(self, qx) -> Future:
-        """Enqueue a quantized vector; resolves to the quantized result."""
+        """Enqueue a quantized vector; resolves to the quantized result.
+
+        Raises ``RuntimeError`` after :meth:`close` — the dispatcher has
+        stopped, so an enqueued future would never resolve."""
+        if self._stop.is_set():
+            raise RuntimeError("MVMServer is closed")
         fut: Future = Future()
         self._q.put((qx, fut))
         return fut
@@ -58,20 +64,32 @@ class MVMServer:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # Fail anything still queued so no caller blocks forever.
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("MVMServer closed"))
 
     # -- dispatcher --------------------------------------------------------
 
     def _drain(self):
-        """Collect up to max_batch requests, waiting briefly for stragglers."""
+        """Collect up to max_batch requests; ``max_wait_s`` is a single
+        deadline for the whole straggler wait, not per get."""
         try:
             first = self._q.get(timeout=0.05)
         except queue.Empty:
             return []
         batch = [first]
-        deadline = self._max_wait
+        deadline = time.monotonic() + self._max_wait
         while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                batch.append(self._q.get(timeout=deadline))
+                batch.append(self._q.get(timeout=remaining))
             except queue.Empty:
                 break
         return batch
