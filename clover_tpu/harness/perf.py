@@ -27,25 +27,58 @@ def _row(log, name, nbytes, dt, base_dt=None):
     return dt
 
 
+# XLA pins loop-carried/invariant buffers that fit into the 128 MiB VMEM,
+# which once produced physically impossible fp32 baselines (2-20 TB/s).
+# Every XLA-path baseline therefore streams its operands from a ring of
+# slots totalling >= RING_BYTES: slot j = i % p changes every iteration,
+# so the working set cannot live in VMEM and no row can exceed the HBM
+# roofline.  (Pallas-kernel rows always stream their full containers.)
+RING_BYTES = 512 << 20
+
+
+def _slots(bytes_each: int, cap: int = 4096) -> int:
+    return int(min(cap, max(4, -(-RING_BYTES // max(bytes_each, 1)))))
+
+
 def bench_quantize(log, sizes=VEC_SIZES):
     log("\n== vector quantize (fp32 -> q) — bytes = fp32 read + codes write")
     rng = np.random.default_rng(0)
     for n in sizes:
-        x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+        p = _slots(4 * n)
+        X = jnp.asarray(rng.random((p, n), dtype=np.float32) * 2 - 1)
         for bits in (4, 8, 16):
             def make(iters):
+                if bits == 16:
+                    # pure convert: write each result into an HBM ring
+                    # slot so XLA cannot fuse it away or keep it in VMEM
+                    @jax.jit
+                    def g(X):
+                        out0 = jnp.zeros((p, n), jnp.float16)
+                        def body(i, out):
+                            j = jax.lax.rem(i, p)
+                            v = ct.quantize(
+                                jax.lax.dynamic_index_in_dim(
+                                    X, j, keepdims=False), 16).values
+                            return jax.lax.dynamic_update_index_in_dim(
+                                out, v, j, 0)
+                        out = jax.lax.fori_loop(0, iters, body, out0)
+                        return out[0, 0].astype(jnp.float32)
+                    return lambda: float(g(X))
+
                 @jax.jit
-                def g(x):
+                def g(X, seed0):
                     def body(i, s):
-                        q = ct.quantize(x * (1.0 + s * 1e-30), bits)
-                        # consume the WHOLE output or XLA dead-code-
-                        # eliminates all but one element of the XLA paths
-                        arr = q.scales if bits in (4, 8) else q.values
-                        return s + jnp.sum(arr).astype(jnp.float32) * 1e-30
+                        # fresh ring slot + fresh SR seed per iteration:
+                        # nothing is loop-invariant, nothing fits VMEM
+                        j = jax.lax.rem(i, p)
+                        x = jax.lax.dynamic_index_in_dim(X, j,
+                                                         keepdims=False)
+                        q = ct.quantize(x, bits, key=seed0 + i)
+                        return s + jnp.sum(q.scales) * 1e-30
                     return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-                return lambda: float(g(x))
+                return lambda: float(g(X, jnp.asarray([7], jnp.int32)))
             dt = chain_time(make)
-            q = ct.quantize(x, bits)
+            q = ct.quantize(X[0], bits)
             nbytes = 4 * n + q.nbytes
             _row(log, f"quantize {bits:2d}-bit n={n}", nbytes, dt)
 
@@ -93,14 +126,24 @@ def bench_axpy(log, sizes=VEC_SIZES):
     for n in sizes:
         x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
         y = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+        p = _slots(4 * n)
+        Y = jnp.asarray(rng.random((p, n), dtype=np.float32) * 2 - 1)
 
         def make32(iters):
+            # v_j <- y_j - 0.5 v_j over an HBM ring: 2 reads + 1 write
+            # per iteration, never VMEM-resident (see RING_BYTES note)
             @jax.jit
-            def g(x, y):
-                def body(i, v):
-                    return y + jnp.float32(-0.5) * v
-                return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
-            return lambda: float(g(x, y))
+            def g(Y):
+                V0 = Y * jnp.float32(0.5)
+                def body(i, V):
+                    j = jax.lax.rem(i, p)
+                    vj = jax.lax.dynamic_index_in_dim(V, j, keepdims=False)
+                    yj = jax.lax.dynamic_index_in_dim(Y, j, keepdims=False)
+                    return jax.lax.dynamic_update_index_in_dim(
+                        V, yj + jnp.float32(-0.5) * vj, j, 0)
+                V = jax.lax.fori_loop(0, iters, body, V0)
+                return V[0, 0]
+            return lambda: float(g(Y))
         t32 = chain_time(make32)
         _row(log, f"scaleAndAdd 32-bit n={n}", 12 * n, t32)
 
@@ -134,17 +177,21 @@ def bench_dot(log, sizes=VEC_SIZES):
         # read+write of the operand per iteration and overstated dot time
         # by ~1.5x; a scales-only perturbation lets XLA hoist the integer
         # dot out of the loop entirely.
+        p = _slots(8 * n)
+        UV = jnp.asarray(rng.random((p, 2, n), dtype=np.float32) * 2 - 1)
+
         def make32(iters):
+            # ring slots: both vectors stream from HBM every iteration
             @jax.jit
-            def g(u, v):
-                def body(i, carry):
-                    v, s = carry
-                    d = jnp.dot(u, v, preferred_element_type=jnp.float32)
-                    return (v.at[0].add(d * 1e-37), s + d)
-                _, s = jax.lax.fori_loop(0, iters, body,
-                                         (v, jnp.float32(0)))
-                return s
-            return lambda: float(g(u, v))
+            def g(UV):
+                def body(i, s):
+                    j = jax.lax.rem(i, p)
+                    pair = jax.lax.dynamic_index_in_dim(UV, j,
+                                                        keepdims=False)
+                    return s + jnp.dot(pair[0], pair[1],
+                                       preferred_element_type=jnp.float32)
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            return lambda: float(g(UV))
         t32 = chain_time(make32)
         _row(log, f"dot 32-bit n={n}", 8 * n, t32)
 
@@ -214,21 +261,49 @@ def bench_transpose(log, sizes=MVM_SIZES):
     for n in sizes:
         A = jnp.asarray(rng.random((n, n), dtype=np.float32) * 2 - 1)
 
-        # The chain dependency is the carry itself (q_{k+1} = T(q_k));
-        # no perturbation needed — an extra elementwise op would add a
-        # full matrix read+write per iteration.
-        def make32(iters):
-            @jax.jit
-            def g(A):
-                def body(i, a):
-                    return jnp.transpose(a)
-                return jnp.sum(jax.lax.fori_loop(0, iters, body, A)[0, :1])
-            return lambda: float(g(A))
-        t32 = chain_time(make32)
+        # fp paths (pure XLA relayouts) transpose slots of an HBM ring so
+        # small matrices cannot ride VMEM; quantized paths chain the carry
+        # itself (q_{k+1} = T(q_k)) — their containers always stream.
+        def ring_make(dtype, nbytes_slot):
+            if nbytes_slot >= RING_BYTES // 2:
+                # a single matrix already dwarfs VMEM: plain carry chain
+                A0 = A.astype(dtype)
+
+                def make(iters):
+                    @jax.jit
+                    def g(a):
+                        def body(i, a):
+                            return jnp.transpose(a)
+                        return jax.lax.fori_loop(0, iters, body, a)[0, 0]
+                    return lambda: float(g(A0))
+                return make
+            p = _slots(nbytes_slot, cap=64)
+            B0 = jnp.asarray(
+                rng.random((p, n, n), dtype=np.float32) * 2 - 1).astype(dtype)
+
+            def make(iters):
+                @jax.jit
+                def g(B):
+                    def body(i, B):
+                        j = jax.lax.rem(i, p)
+                        b = jax.lax.dynamic_index_in_dim(B, j,
+                                                         keepdims=False)
+                        return jax.lax.dynamic_update_index_in_dim(
+                            B, jnp.transpose(b), j, 0)
+                    return jax.lax.fori_loop(0, iters, body, B)[0, 0, 0]
+                return lambda: float(g(B0))
+            return make
+
+        t32 = chain_time(ring_make(jnp.float32, 8 * n * n))
         _row(log, f"transpose 32-bit n={n}", 8 * n * n, t32)
 
         for bits in (4, 8, 16):
             qA = ct.quantize(A, bits)
+            if bits == 16:
+                dt = chain_time(ring_make(jnp.float16, 4 * n * n))
+                _row(log, f"transpose {bits:2d}-bit n={n}", 2 * qA.nbytes,
+                     dt, t32)
+                continue
 
             def make(iters):
                 @jax.jit
@@ -236,8 +311,6 @@ def bench_transpose(log, sizes=MVM_SIZES):
                     def body(i, q):
                         return ct.transpose(q)
                     out = jax.lax.fori_loop(0, iters, body, qA)
-                    if bits == 16:
-                        return jnp.sum(out.values[0, :1].astype(jnp.float32))
                     return jnp.sum(out.codes[0, :1].astype(jnp.float32))
                 return lambda: float(g(qA))
             dt = chain_time(make)

@@ -70,6 +70,20 @@ class Validator:
         ok = np.all(np.abs(x - xr) <= 1.0)
         return self.check(f"consistency {bits:2d}-bit n={n}", ok, xr, x)
 
+    def vector_restore(self, rng, bits, n):
+        """Standalone restore bit-exactness — runs with SR ON, like the
+        reference (test/validate/02_vector.cpp:224-256): whatever codes
+        SR produced, restore must be bit-identical to codes*scale/qmax."""
+        import jax
+        x = (rng.random(n, dtype=np.float32) * 2 - 1)
+        q = quantize(jnp.asarray(x), bits, key=jax.random.PRNGKey(n))
+        got = np.asarray(restore(q).values)
+        codes = np.asarray(unpack_nibbles(q.codes) if bits == 4 else q.codes)
+        ref = golden.restore_vec(codes, np.asarray(q.scales), bits)
+        ok = np.array_equal(got, ref)
+        return self.check(f"restore   {bits:2d}-bit n={n} (SR on)", ok,
+                          got, ref)
+
     def vector_dot(self, rng, bits, n):
         u = (rng.random(n, dtype=np.float32) * 2 - 1)
         v = (rng.random(n, dtype=np.float32) * 2 - 1)
@@ -142,6 +156,15 @@ class Validator:
         qx = quantize(jnp.asarray(x), bits_x)
         y = mvm(qa, qx)
         got = np.asarray(restore(y).values)
+        if bits_x == 32 and bits_a in (4, 8):
+            # dequant-on-the-fly x32 MVM vs an independent float64
+            # reference (ref: 03_matrix.cpp:419-489, |delta| <= 0.01)
+            ra = np.asarray(restore(qa).values).astype(np.float64)
+            ref = (ra[:m, :n] @ x.astype(np.float64)).astype(np.float32)
+            ok = bool(np.all(np.abs(got[:m] - ref) <= 0.01))
+            return self.check(
+                f"mvm {bits_a:2d}x{bits_x:2d}-bit {m}x{n}", ok,
+                got[:8], ref[:8])
         ref = np.asarray(mvm_f32(qa, qx))
         if y.bits in (16, 32):
             ok = np.allclose(got, ref, rtol=1e-3, atol=1e-3)
@@ -186,6 +209,7 @@ def run_validation(full: bool = False, seed: int = 1, log=print) -> bool:
     for n in vec_sizes:
         for bits in (4, 8):
             v.vector_quantize(rng, bits, n)
+            v.vector_restore(rng, bits, n)
             v.vector_consistency(rng, bits, n)
             v.vector_dot(rng, bits, n)
             v.vector_scale_and_add(rng, bits, n)
@@ -196,7 +220,8 @@ def run_validation(full: bool = False, seed: int = 1, log=print) -> bool:
         for bits in (4, 8):
             v.matrix_quantize(rng, bits, m, n)
             v.matrix_transpose(rng, bits, m, n)
-        for (ba, bx) in ((4, 4), (4, 8), (8, 8), (16, 16), (32, 32)):
+        for (ba, bx) in ((4, 4), (4, 8), (8, 8), (16, 16), (32, 32),
+                         (4, 32), (8, 32)):
             v.matrix_mvm(rng, ba, bx, m, n)
 
     log(f"\n{v.checks} checks, {v.failures} failures")

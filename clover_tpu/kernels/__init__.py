@@ -14,9 +14,9 @@ so the CPU test mesh can validate their numerics.  The pure-XLA paths in
 """
 
 from .dispatch import pallas_enabled, pallas_interpret
-from .mvm import mvm_pallas, mvm_pallas_eligible
+from .mvm import mvm_pallas, mvm_pallas_eligible, mvm_pallas_f32
 
 __all__ = [
     "pallas_enabled", "pallas_interpret",
-    "mvm_pallas", "mvm_pallas_eligible",
+    "mvm_pallas", "mvm_pallas_eligible", "mvm_pallas_f32",
 ]

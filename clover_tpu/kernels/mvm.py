@@ -450,3 +450,37 @@ def mvm_pallas(A, x, key=None):
     scales = ys.reshape(-1)
     out_cls = QVec4 if out_bits == 4 else QVec8
     return out_cls(codes=codes, scales=scales, length=A.rows)
+
+
+def mvm_pallas_f32(A, x) -> jax.Array:
+    """Fused MVM returning the padded f32 result (no output requant).
+
+    This is the kernel the sharded path runs per shard: partials are
+    psum'd over ICI BEFORE requantization so the band absmax sees the
+    globally-reduced values (the distributed form of
+    CloverMatrix4.h:788-1083's band requant; reference parallel MVM:
+    CloverMatrix4.h:1681).  No PRNG is involved (requant happens after
+    the psum), so this compiles in interpret mode too.
+    """
+    mode = _mode(A, x)
+    assert mode is not None, (type(A), type(x))
+    m_pad, n_pad = A.rows_pad, A.cols_pad
+    seed = jnp.zeros((1,), jnp.int32)
+    call, tm, tk, flat = _build_call(mode, m_pad, n_pad, 32, False,
+                                     pallas_interpret())
+    nb = tk // BLOCK
+    gm, nkt = m_pad // tm, n_pad // tk
+    nb_total = n_pad // BLOCK
+    if flat:
+        xscales2 = x.scales.reshape(1, nb_total)
+        ascales4 = A.scales
+    else:
+        xscales2 = x.scales.reshape(nkt, 1, nb)
+        ascales4 = (A.scales.reshape(gm, tm // BLOCK, nkt, nb)
+                    .transpose(0, 2, 1, 3))
+    if mode == "4x4":
+        xc = x.codes.reshape(nb_total, HALF)
+    else:
+        xc = x.codes.reshape(nb_total, BLOCK)
+    yc, _ = call(seed, A.codes, xc, ascales4, xscales2)
+    return yc.reshape(-1)

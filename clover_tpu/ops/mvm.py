@@ -74,6 +74,19 @@ def mvm_f32(A, x) -> jax.Array:
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def mvm_f32_fast(A, x) -> jax.Array:
+    """Like :func:`mvm_f32` but dispatched to the fused Pallas kernel's
+    f32-output mode on TPU (kernels/mvm.py mvm_pallas_f32).  The sharded
+    path (parallel/ops.mvm_psum) uses this per shard so real multi-chip
+    MVMs run the fused kernel, not the portable XLA path; ``mvm_f32``
+    itself stays pure-XLA because the validation harness uses it as the
+    independent reference implementation."""
+    from ..kernels import mvm_pallas_eligible, mvm_pallas_f32, pallas_enabled
+    if pallas_enabled() and mvm_pallas_eligible(A, x):
+        return mvm_pallas_f32(A, x)
+    return mvm_f32(A, x)
+
+
 def mvm(A, x, key=None):
     """Fused MVM: y = requantize_by_band(A @ x).
 

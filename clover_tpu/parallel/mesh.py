@@ -55,6 +55,20 @@ def _check(dim: int, parts: int, what: str):
         f"{what}={dim} must be divisible by {parts} shards x {BLOCK} block")
 
 
+def _put(arr, mesh: Mesh, spec):
+    """Place an array with a NamedSharding.  In a multi-process job
+    (jax.distributed over DCN) the full array is assumed replicated on
+    every host — the per-process addressable shards are served from it
+    via make_array_from_callback, since device_put cannot target
+    non-addressable devices."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        arr_np = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr_np.shape, sh, lambda idx: arr_np[idx])
+    return jax.device_put(arr, sh)
+
+
 def mat_sharding(mesh: Mesh, transposed: bool = False):
     """PartitionSpecs for a quantized matrix's (codes, scales).
 
@@ -71,12 +85,11 @@ def shard_matrix(qA, mesh: Mesh, transposed: bool = False):
     _check(qA.rows_pad, r_parts, "rows")
     _check(qA.cols_pad, c_parts, "cols")
     if isinstance(qA, (QMat16, QMat32)):
-        return type(qA)(
-            values=jax.device_put(qA.values, NamedSharding(mesh, spec)),
-            rows=qA.rows, cols=qA.cols)
+        return type(qA)(values=_put(qA.values, mesh, spec),
+                        rows=qA.rows, cols=qA.cols)
     return type(qA)(
-        codes=jax.device_put(qA.codes, NamedSharding(mesh, spec)),
-        scales=jax.device_put(qA.scales, NamedSharding(mesh, spec)),
+        codes=_put(qA.codes, mesh, spec),
+        scales=_put(qA.scales, mesh, spec),
         rows=qA.rows, cols=qA.cols)
 
 
@@ -87,10 +100,9 @@ def shard_vector(qx, mesh: Mesh, axis: str):
     _check(qx.length_pad, parts, "length")
     spec = P(axis)
     if isinstance(qx, (QVec16, QVec32)):
-        return type(qx)(
-            values=jax.device_put(qx.values, NamedSharding(mesh, spec)),
-            length=qx.length)
+        return type(qx)(values=_put(qx.values, mesh, spec),
+                        length=qx.length)
     return type(qx)(
-        codes=jax.device_put(qx.codes, NamedSharding(mesh, spec)),
-        scales=jax.device_put(qx.scales, NamedSharding(mesh, spec)),
+        codes=_put(qx.codes, mesh, spec),
+        scales=_put(qx.scales, mesh, spec),
         length=qx.length)

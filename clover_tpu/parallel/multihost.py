@@ -19,22 +19,35 @@ import jax
 from .mesh import make_mesh
 
 
+def _already_initialized() -> bool:
+    # NB: do NOT probe via jax.process_count() — that initializes the
+    # backends, after which jax.distributed.initialize always fails.
+    try:
+        return jax.distributed.is_initialized()
+    except AttributeError:  # pragma: no cover - older jax
+        from jax._src.distributed import global_state
+        return global_state.client is not None
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None):
-    """Bring up jax.distributed (idempotent); no-op on single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        if coordinator_address is None and num_processes is None:
+    """Bring up jax.distributed (idempotent).
+
+    With explicit coordinator args a failure is raised (a multi-process
+    job that cannot form is fatal); the no-arg auto-bootstrap downgrades
+    to single-process when no cluster environment is detected."""
+    if _already_initialized():
+        return
+    if coordinator_address is None and num_processes is None:
+        try:
             jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes, process_id=process_id)
-    except (RuntimeError, ValueError):
-        # single-process / already-initialized environments
-        pass
+        except (RuntimeError, ValueError):
+            pass  # no cluster env: single-process mode
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def pod_mesh(shape: tuple[int, int] | None = None):

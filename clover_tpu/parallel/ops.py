@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ..formats import QVec4, QVec8, QVec16, QVec32, pack_nibbles, unpack_nibbles
-from ..ops import mvm_f32, restore_vec
+from ..ops import restore_vec
+from ..ops.mvm import mvm_f32_fast
 from ..ops.quantize import quantize_vec
 
 
@@ -43,9 +44,10 @@ def mvm_psum(A_local, x_local, reduce_axis: str, key, out_bits: int,
 
     The psum happens BEFORE output requantization so every shard's band
     absmax sees the globally reduced values — the distributed version of
-    CloverMatrix4.h:788-1083's band requant.
+    CloverMatrix4.h:788-1083's band requant.  On TPU the per-shard
+    partial runs the fused Pallas kernel (mvm_f32_fast).
     """
-    y32 = mvm_f32(A_local, x_local)
+    y32 = mvm_f32_fast(A_local, x_local)
     y32 = jax.lax.psum(y32, reduce_axis)
     if out_bits == 32:
         return QVec32(values=y32, length=A_local.rows)

@@ -26,13 +26,16 @@ def _problem(m=512, n=1024, k=64):
     return phi, x_star, y, k
 
 
-@pytest.mark.parametrize("bits", [4, 8, 32])
+@pytest.mark.parametrize("bits", [4, 8, 32, "4x8"])
 def test_sharded_iht_matches_single(mesh, bits):
+    """Includes the mixed 4-bit-matrix x 8-bit-vector config — a
+    first-class reference feature (test/accuracy/00_accuracy.cpp:84)."""
     phi, x_star, y, k = _problem()
     m, n = phi.shape
-    qphi = quantize_mat(phi, bits, key=None)
+    mat_bits, vec_bits = (4, 8) if bits == "4x8" else (bits, bits)
+    qphi = quantize_mat(phi, mat_bits, key=None)
     qphit = transpose(qphi)
-    qy = quantize_vec(y, bits, key=None)
+    qy = quantize_vec(y, vec_bits, key=None)
     mu = 0.0042
     single = iht_single(qphi, qphit, qy, 15, k, mu, key=None,
                         x_star=QVec32(values=x_star, length=n))
@@ -113,4 +116,75 @@ def test_sharded_threshold_matches_single(mesh):
     codes, scales = jax.jit(fn)(qs.codes, qs.scales)
     got = np.asarray(restore_vec(QVec8(codes=codes, scales=scales,
                                        length=n)).values)
+    np.testing.assert_array_equal(got, want)
+
+
+def _integer_mvm_problem(m=256, n=512):
+    """QMat4/QVec4 with integer codes and scale 7 everywhere: restored
+    values are exact small integers, per-shard partials are int-valued
+    f32 < 2^24, so the psum is EXACT in any reduction order — a
+    deterministic cross-check of mvm_psum against the single-device
+    reference (VERDICT: no tolerance hides a reduction-order bug)."""
+    from clover_tpu.formats import QMat4, QVec4, pack_nibbles
+
+    rng = np.random.default_rng(7)
+    ac = rng.integers(-7, 8, (m, n)).astype(np.int8)
+    xc = rng.integers(-7, 8, n).astype(np.int8)
+    qA = QMat4(codes=pack_nibbles(jnp.asarray(ac)),
+               scales=jnp.full((m // 64, n // 64), 7.0, jnp.float32),
+               rows=m, cols=n)
+    qx = QVec4(codes=pack_nibbles(jnp.asarray(xc)),
+               scales=jnp.full((n // 64,), 7.0, jnp.float32),
+               length=n)
+    want = ac.astype(np.int64) @ xc.astype(np.int64)  # exact integer MVM
+    return qA, qx, want.astype(np.float32)
+
+
+def _run_mvm_psum(mesh, qA, qx):
+    from jax.sharding import PartitionSpec as P
+    from clover_tpu.formats import QMat4, QVec4
+    from clover_tpu.parallel.solvers import _shard_map
+    from clover_tpu.parallel.ops import mvm_psum
+
+    m, n = qA.rows, qA.cols
+
+    def local(ac, asc, xc, xsc):
+        A_l = QMat4(codes=ac, scales=asc, rows=m // 2, cols=n // 4)
+        x_l = QVec4(codes=xc, scales=xsc, length=n // 4)
+        y = mvm_psum(A_l, x_l, "col", None, 32, "row")
+        return y.values
+
+    fn = _shard_map(local, mesh,
+                    (P("row", "col"), P("row", "col"), P("col"), P("col")),
+                    P("row"))
+    qAs = shard_matrix(qA, mesh)
+    qxs = shard_vector(qx, mesh, "col")
+    return np.asarray(jax.jit(fn)(qAs.codes, qAs.scales,
+                                  qxs.codes, qxs.scales))
+
+
+def test_mvm_psum_exact_cross_check(mesh):
+    qA, qx, want = _integer_mvm_problem()
+    got = _run_mvm_psum(mesh, qA, qx)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mvm_psum_fused_kernel_interpret(mesh, monkeypatch):
+    """Same exact cross-check with the fused Pallas kernel forced into
+    the sharded loop (interpret mode on the CPU mesh): mvm_f32_fast
+    must dispatch to mvm_pallas_f32 and still match bit-for-bit."""
+    from clover_tpu.kernels import mvm_pallas_eligible
+
+    monkeypatch.setenv("CLOVER_PALLAS", "1")
+    qA, qx, want = _integer_mvm_problem()
+    # the per-shard geometry must be kernel-eligible or this test is vacuous
+    from clover_tpu.formats import QMat4, QVec4, pack_nibbles
+    m, n = qA.rows, qA.cols
+    A_l = QMat4(codes=qA.codes[: m // 2, : n // 8],
+                scales=qA.scales[: m // 128, : n // 256],
+                rows=m // 2, cols=n // 4)
+    x_l = QVec4(codes=qx.codes[: n // 8], scales=qx.scales[: n // 256],
+                length=n // 4)
+    assert mvm_pallas_eligible(A_l, x_l)
+    got = _run_mvm_psum(mesh, qA, qx)
     np.testing.assert_array_equal(got, want)
