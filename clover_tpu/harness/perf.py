@@ -318,7 +318,13 @@ def bench_transpose(log, sizes=MVM_SIZES):
                  t32)
 
 
-def bench_iht(log, sizes=IHT_SIZES):
+IHT_CONFIGS = (("4x8", 4, 8), ("4", 4, 4), ("8", 8, 8),
+               ("16", 16, 16), ("32", 32, 32))
+
+
+def bench_iht(log, sizes=IHT_SIZES, configs=IHT_CONFIGS):
+    """All five reference precision configs (4x8 mixed, pure 4/8/16/32 —
+    doc/results/performance.txt:561-590)."""
     log("\n== IHT end-to-end (iters/s; bytes = 2 matrix streams / iter)")
     from ..models.solvers import _solve
     from ..formats import zeros_vector
@@ -326,10 +332,11 @@ def bench_iht(log, sizes=IHT_SIZES):
     for (m, n) in sizes:
         Phi = rng.random((m, n), dtype=np.float32) * 2 - 1
         yv = Phi @ rng.random(n, dtype=np.float32)
-        for bits in (4, 32):
-            qphi = ct.quantize(jnp.asarray(Phi), bits)
+        for (name, mat_bits, vec_bits) in configs:
+            qphi = ct.quantize(jnp.asarray(Phi), mat_bits)
             qphit = ct.transpose(qphi)
-            qy = ct.quantize(jnp.asarray(yv / np.abs(yv).max()), bits)
+            qy = ct.quantize(jnp.asarray(yv / np.abs(yv).max()), vec_bits)
+            bits = vec_bits
 
             def make(iters):
                 def run():
@@ -340,7 +347,7 @@ def bench_iht(log, sizes=IHT_SIZES):
                     return float(jnp.sum(arr[:1]))
                 return run
             dt = chain_time(make, k1=2)
-            _row(log, f"IHT {bits:2d}-bit {m}x{n}", 2 * qphi.nbytes, dt)
+            _row(log, f"IHT {name:>4s}-bit {m}x{n}", 2 * qphi.nbytes, dt)
             log(f"{'':28s} -> {1 / dt:10.0f} iters/s")
 
 

@@ -2,13 +2,15 @@
 CloverVector8.h:911-977 — the `maddubs` blocked dot, and the reference's
 FIRST headline benchmark: 4-bit dot up to 9.56x over fp32).
 
-TPU-native design (measured best of the alternatives): whole-tile
-ELEMENTWISE pipeline at full lane width — 1024-lane int8 tiles, one
-bitwise-AND per nibble plane, direct int8->f32 converts, one f32
-multiply per plane; per-block sums come from either a 0/1
-block-indicator matmul at HIGHEST precision (4-bit — exact: int-valued
-f32 products split into bf16 chunks losslessly) or static 64-lane slice
-reductions (8-bit).  For packed 4-bit (byte = 16*hi + lo+8):
+TPU-native design (measured best of the alternatives, r2 e7 ablations):
+whole-tile ELEMENTWISE pipeline at full lane width — 1024-lane int8
+tiles, one bitwise-AND per nibble plane, direct int8->f32 converts
+(measured ~free on the VPU), one f32 multiply per plane; per-block sums
+run on the MXU as PLAIN bf16 0/1-indicator matmuls with f32
+accumulation — exact, because the products are integers within bf16's
+mantissa (|P| <= 98 for 4-bit; 8-bit splits P = 256A + B first) and
+6x cheaper than the HIGHEST-precision f32 matmul used before.
+For packed 4-bit (byte = 16*hi + lo+8):
 
     (p & 0xF0) as int8 = 16*h  ->  (hu*hv)/256 = h_u*h_v   exactly
     (p & 15) - 8.0     = lo    ->  lu*lv                    exactly
@@ -40,21 +42,28 @@ from ..formats import BLOCK, QVec4, QVec8
 from .dispatch import pallas_interpret
 
 HALF = BLOCK // 2
-# Tile rows per grid step: 8-bit tiles are twice as wide per block, so a
-# 2048-row tile overflows the 16M scoped-vmem budget when compiled
-# standalone (the f32 product intermediates dominate); 1024 measured
-# within 1% of 2048 anyway.
-RT_CAP = {4: 2048, 8: 1024}
+# Tile rows per grid step: the f32/bf16 product intermediates dominate
+# scoped VMEM, and 1024 measured within 1% of 2048 anyway.
+RT_CAP = {4: 1024, 8: 1024}
 
 
 def _block_indicator(w: int, nbpr: int):
-    """(w*nbpr, nbpr) f32 0/1: column b selects lanes [b*w, (b+1)*w)."""
+    """(w*nbpr, nbpr) bf16 0/1: column b selects lanes [b*w, (b+1)*w).
+
+    bf16 is EXACT here: every product is P*{0,1} with P an integer that
+    fits bf16's 8-bit mantissa, and the MXU accumulates in f32."""
     r = jax.lax.broadcasted_iota(jnp.int32, (w * nbpr, nbpr), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (w * nbpr, nbpr), 1)
-    return jnp.where(r // w == c, 1.0, 0.0)
+    return jnp.where(r // w == c, 1.0, 0.0).astype(jnp.bfloat16)
 
 
 def _dot4_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
+    """Measured design (v5e e7 ablations): int8->f32 converts are ~free;
+    the cost drivers are full-tile f32 passes and the block-sum matmul.
+    P is integer-valued with |P| <= 98 < 2^8, so it converts to bf16
+    EXACTLY and the block sums run as one PLAIN bf16 MXU matmul with f32
+    accumulation (6x cheaper than the HIGHEST-precision f32 matmul this
+    kernel used before; still bit-exact int block sums < 2^24)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -66,9 +75,9 @@ def _dot4_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
     hv = jnp.bitwise_and(pv, jnp.int8(-16)).astype(jnp.float32)
     lu = jnp.bitwise_and(pu, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
     lv = jnp.bitwise_and(pv, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
-    P = hu * hv * (1.0 / 256.0) + lu * lv            # exact int-valued f32
-    bs = jax.lax.dot(P, _block_indicator(HALF, nbpr),
-                     precision=jax.lax.Precision.HIGHEST)   # (RT, nbpr)
+    P = hu * hv * (1.0 / 256.0) + lu * lv            # exact int, |P|<=98
+    bs = jax.lax.dot(P.astype(jnp.bfloat16), _block_indicator(HALF, nbpr),
+                     preferred_element_type=jnp.float32)    # (RT, nbpr)
     comb = us_ref[:] * vs_ref[:] * (1.0 / 49.0)
     acc_ref[0, 0] += jnp.sum(bs * comb)
 
@@ -78,6 +87,10 @@ def _dot4_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
 
 
 def _dot8_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
+    """8-bit products reach 127^2 = 16129 (> bf16's exact-integer range),
+    so P is split as P = 256*A + B with |A| < 64 and 0 <= B < 256 — both
+    bf16-exact — and the block sums come from two plain bf16 matmuls
+    recombined in f32 (exact: sums < 2^24)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -85,9 +98,14 @@ def _dot8_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
         acc_ref[0, 0] = jnp.float32(0.0)
 
     P = u_ref[:].astype(jnp.float32) * v_ref[:].astype(jnp.float32)
-    bs = jnp.concatenate(
-        [jnp.sum(P[:, b * BLOCK:(b + 1) * BLOCK], axis=1, keepdims=True)
-         for b in range(nbpr)], axis=1)              # (RT, nbpr)
+    A = jnp.floor(P * (1.0 / 256.0))
+    B = P - 256.0 * A
+    E = _block_indicator(BLOCK, nbpr)
+    bsA = jax.lax.dot(A.astype(jnp.bfloat16), E,
+                      preferred_element_type=jnp.float32)
+    bsB = jax.lax.dot(B.astype(jnp.bfloat16), E,
+                      preferred_element_type=jnp.float32)
+    bs = 256.0 * bsA + bsB                           # (RT, nbpr) exact
     comb = us_ref[:] * vs_ref[:] * (1.0 / (127.0 * 127.0))
     acc_ref[0, 0] += jnp.sum(bs * comb)
 
@@ -134,6 +152,8 @@ def _build(bits: int, nb_total: int, interpret: bool):
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     ), rows, nbpr
 
