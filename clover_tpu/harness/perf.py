@@ -65,18 +65,21 @@ def bench_quantize(log, sizes=VEC_SIZES):
                         return out[0, 0].astype(jnp.float32)
                     return lambda: float(g(X))
 
+                # NO ring for the Pallas paths: a dynamic-slice feeding a
+                # pallas_call materializes a full copy per iteration
+                # (measured 3-4x inflation).  The 4/8-bit kernels are
+                # compute-bound (DMA ~1/3 of kernel time), so possible
+                # VMEM residency of x does not distort the number; the
+                # per-iteration seed keeps iterations distinct.
+                x0 = X[0]
+
                 @jax.jit
-                def g(X, seed0):
+                def g(x, seed0):
                     def body(i, s):
-                        # fresh ring slot + fresh SR seed per iteration:
-                        # nothing is loop-invariant, nothing fits VMEM
-                        j = jax.lax.rem(i, p)
-                        x = jax.lax.dynamic_index_in_dim(X, j,
-                                                         keepdims=False)
                         q = ct.quantize(x, bits, key=seed0 + i)
                         return s + jnp.sum(q.scales) * 1e-30
                     return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-                return lambda: float(g(X, jnp.asarray([7], jnp.int32)))
+                return lambda: float(g(x0, jnp.asarray([7], jnp.int32)))
             dt = chain_time(make)
             q = ct.quantize(X[0], bits)
             nbytes = 4 * n + q.nbytes

@@ -125,3 +125,32 @@ def test_dot_kernel_vs_golden(rng, bits, n):
                            np.asarray(qv.scales), bits))
     # reference dot tolerance for reordered accumulation (:280-283)
     assert abs(got - ref) <= 0.02 * max(1.0, abs(ref) / 10), (got, ref)
+
+
+def test_threshold4_kernel_matches_xla(rng, monkeypatch):
+    """Fused threshold kernel (interpret) is bit-identical to the XLA
+    bisect path, including heavy-tie fills in golden index order."""
+    import jax.numpy as jnp
+    from clover_tpu.formats import QVec4, pack_nibbles
+    from clover_tpu.kernels.threshold import (
+        threshold4_pallas, threshold4_pallas_eligible)
+    from clover_tpu.ops.quantize import quantize_vec, restore_vec
+    from clover_tpu.ops.threshold import threshold as thr
+
+    for n, k in [(2048, 64), (8192, 2048), (4096, 4095), (65536, 17)]:
+        x = (rng.random(n, dtype=np.float32) * 2 - 1)
+        q = quantize_vec(jnp.asarray(x), 4, key=None)
+        assert threshold4_pallas_eligible(q, k)
+        got = np.asarray(restore_vec(threshold4_pallas(q, k)).values)
+        monkeypatch.setenv("CLOVER_PALLAS", "0")
+        want = np.asarray(restore_vec(thr(q, k)).values)
+        monkeypatch.delenv("CLOVER_PALLAS")
+        np.testing.assert_array_equal(got, want)
+
+    # tie storm: every code the same magnitude -> fill by lowest index
+    codes = np.full(4096, -5, np.int8)
+    q2 = QVec4(codes=pack_nibbles(jnp.asarray(codes)),
+               scales=jnp.ones((64,), jnp.float32), length=4096)
+    out = np.asarray(restore_vec(threshold4_pallas(q2, 100)).values)
+    assert np.count_nonzero(out) == 100
+    assert np.all(np.nonzero(out)[0] == np.arange(100))
