@@ -123,6 +123,46 @@ def bench_mvm(log, sizes=MVM_SIZES):
             _row(log, f"mvm {ba:2d}x{bx:2d}-bit n={n}", qA.nbytes, dt, t32)
 
 
+def bench_restore(log, sizes=VEC_SIZES):
+    """q -> fp32 restore (reference benches restore at every precision,
+    doc/results/performance.txt:118-160).  The f32 result is written
+    into an HBM ring so the output traffic is real; the carried
+    single-element code perturbation keeps iterations distinct."""
+    log("\n== restore (q -> fp32) — bytes = codes read + fp32 write")
+    rng = np.random.default_rng(0)
+    for n in sizes:
+        x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+        for bits in (4, 8, 16):
+            q = ct.quantize(x, bits)
+            p = _slots(4 * n, cap=16)
+            arr0 = q.codes if bits in (4, 8) else q.values
+
+            def make(iters):
+                @jax.jit
+                def g(arr):
+                    def body(i, carry):
+                        arr, out = carry
+                        if bits in (4, 8):
+                            q2 = type(q)(codes=arr, scales=q.scales,
+                                         length=q.length)
+                        else:
+                            q2 = type(q)(values=arr, length=q.length)
+                        v = ct.restore(q2).values
+                        j = jax.lax.rem(i, p)
+                        out = jax.lax.dynamic_update_index_in_dim(
+                            out, v, j, 0)
+                        one = (jnp.int8(1) if bits in (4, 8)
+                               else jnp.float16(1))
+                        return (arr.at[0].add(one), out)
+                    _, out = jax.lax.fori_loop(
+                        0, iters, body,
+                        (arr, jnp.zeros((p, q.length_pad), jnp.float32)))
+                    return out[0, 0]
+                return lambda: float(g(arr0))
+            dt = chain_time(make)
+            _row(log, f"restore {bits:2d}-bit n={n}", q.nbytes + 4 * n, dt)
+
+
 def bench_axpy(log, sizes=VEC_SIZES):
     log("\n== scaleAndAdd (dequant-FMA-requant) — bytes = 2 reads + 1 write")
     rng = np.random.default_rng(0)

@@ -20,6 +20,12 @@ from ..formats import QMat4, QMat8, QMat16, QMat32, pack_nibbles, unpack_nibbles
 
 
 def transpose(A):
+    if isinstance(A, (QMat4, QMat8)):
+        from ..kernels import pallas_enabled
+        from ..kernels.transpose import (
+            transpose_pallas, transpose_pallas_eligible)
+        if pallas_enabled() and transpose_pallas_eligible(A):
+            return transpose_pallas(A)
     if isinstance(A, QMat4):
         codes = unpack_nibbles(A.codes)
         return QMat4(codes=pack_nibbles(codes.T), scales=A.scales.T,
