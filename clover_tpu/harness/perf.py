@@ -45,24 +45,24 @@ def bench_quantize(log, sizes=VEC_SIZES):
     rng = np.random.default_rng(0)
     for n in sizes:
         p = _slots(4 * n)
-        X = jnp.asarray(rng.random((p, n), dtype=np.float32) * 2 - 1)
+        # ring generated ON DEVICE: a host->device transfer of 512 MB
+        # through the tunnel takes minutes
+        X = jax.random.uniform(jax.random.PRNGKey(0), (p, n),
+                               minval=-1.0, maxval=1.0)
         for bits in (4, 8, 16):
             def make(iters):
                 if bits == 16:
-                    # pure convert: write each result into an HBM ring
-                    # slot so XLA cannot fuse it away or keep it in VMEM
+                    # pure convert: whole-ring batched convert per
+                    # iteration (>= 512 MB — forced HBM streaming),
+                    # carried so nothing is elided; time reported /p
                     @jax.jit
                     def g(X):
-                        out0 = jnp.zeros((p, n), jnp.float16)
-                        def body(i, out):
-                            j = jax.lax.rem(i, p)
-                            v = ct.quantize(
-                                jax.lax.dynamic_index_in_dim(
-                                    X, j, keepdims=False), 16).values
-                            return jax.lax.dynamic_update_index_in_dim(
-                                out, v, j, 0)
-                        out = jax.lax.fori_loop(0, iters, body, out0)
-                        return out[0, 0].astype(jnp.float32)
+                        def body(i, h):
+                            return (X + h[0, 0].astype(jnp.float32)
+                                    * 1e-30).astype(jnp.float16)
+                        h = jax.lax.fori_loop(
+                            0, iters, body, jnp.zeros((p, n), jnp.float16))
+                        return h[0, 0].astype(jnp.float32)
                     return lambda: float(g(X))
 
                 # NO ring for the Pallas paths: a dynamic-slice feeding a
@@ -81,6 +81,8 @@ def bench_quantize(log, sizes=VEC_SIZES):
                     return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
                 return lambda: float(g(x0, jnp.asarray([7], jnp.int32)))
             dt = chain_time(make)
+            if bits == 16:
+                dt /= p          # whole-ring batched convert
             q = ct.quantize(X[0], bits)
             nbytes = 4 * n + q.nbytes
             _row(log, f"quantize {bits:2d}-bit n={n}", nbytes, dt)
@@ -129,38 +131,43 @@ def bench_restore(log, sizes=VEC_SIZES):
     into an HBM ring so the output traffic is real; the carried
     single-element code perturbation keeps iterations distinct."""
     log("\n== restore (q -> fp32) — bytes = codes read + fp32 write")
-    rng = np.random.default_rng(0)
     for n in sizes:
-        x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
         for bits in (4, 8, 16):
-            q = ct.quantize(x, bits)
-            p = _slots(4 * n, cap=16)
+            # one LONG container (>= 512 MB of f32 output per restore)
+            # so the write stream is real HBM; time reported /p
+            p = _slots(4 * n, cap=64)
+            big = jax.random.uniform(jax.random.PRNGKey(4), (p * n,),
+                                     minval=-1.0, maxval=1.0)
+            q = ct.quantize(big, bits)
             arr0 = q.codes if bits in (4, 8) else q.values
 
             def make(iters):
                 @jax.jit
                 def g(arr):
                     def body(i, carry):
-                        arr, out = carry
+                        # the f32 result is the CARRY, so it is a real
+                        # materialized buffer (a sum-consumed restore
+                        # would fuse away the write stream entirely)
+                        arr, vb = carry
                         if bits in (4, 8):
                             q2 = type(q)(codes=arr, scales=q.scales,
                                          length=q.length)
                         else:
                             q2 = type(q)(values=arr, length=q.length)
                         v = ct.restore(q2).values
-                        j = jax.lax.rem(i, p)
-                        out = jax.lax.dynamic_update_index_in_dim(
-                            out, v, j, 0)
                         one = (jnp.int8(1) if bits in (4, 8)
                                else jnp.float16(1))
-                        return (arr.at[0].add(one), out)
-                    _, out = jax.lax.fori_loop(
+                        arr = arr.at[0].add(
+                            one + (vb[0] * 1e-30).astype(arr.dtype))
+                        return (arr, v)
+                    _, vb = jax.lax.fori_loop(
                         0, iters, body,
-                        (arr, jnp.zeros((p, q.length_pad), jnp.float32)))
-                    return out[0, 0]
+                        (arr, jnp.zeros((p * n,), jnp.float32)))
+                    return vb[0]
                 return lambda: float(g(arr0))
-            dt = chain_time(make)
-            _row(log, f"restore {bits:2d}-bit n={n}", q.nbytes + 4 * n, dt)
+            dt = chain_time(make) / p
+            _row(log, f"restore {bits:2d}-bit n={n}",
+                 q.nbytes // p + 4 * n, dt)
 
 
 def bench_axpy(log, sizes=VEC_SIZES):
@@ -170,24 +177,23 @@ def bench_axpy(log, sizes=VEC_SIZES):
         x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
         y = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
         p = _slots(4 * n)
-        Y = jnp.asarray(rng.random((p, n), dtype=np.float32) * 2 - 1)
+        Y = jax.random.uniform(jax.random.PRNGKey(1), (p, n),
+                               minval=-1.0, maxval=1.0)   # device-side
 
         def make32(iters):
-            # v_j <- y_j - 0.5 v_j over an HBM ring: 2 reads + 1 write
-            # per iteration, never VMEM-resident (see RING_BYTES note)
+            # whole-ring batched AXPY: V <- Y - 0.5 V over >= 512 MB per
+            # iteration (guaranteed HBM streaming; a per-slot
+            # dynamic_update protocol measured ~150 us/iter of hidden
+            # copies), reported as time/p per n-sized op
             @jax.jit
             def g(Y):
-                V0 = Y * jnp.float32(0.5)
                 def body(i, V):
-                    j = jax.lax.rem(i, p)
-                    vj = jax.lax.dynamic_index_in_dim(V, j, keepdims=False)
-                    yj = jax.lax.dynamic_index_in_dim(Y, j, keepdims=False)
-                    return jax.lax.dynamic_update_index_in_dim(
-                        V, yj + jnp.float32(-0.5) * vj, j, 0)
-                V = jax.lax.fori_loop(0, iters, body, V0)
+                    return Y + jnp.float32(-0.5) * V
+                V = jax.lax.fori_loop(0, iters, body,
+                                      Y * jnp.float32(0.5))
                 return V[0, 0]
             return lambda: float(g(Y))
-        t32 = chain_time(make32)
+        t32 = chain_time(make32) / p
         _row(log, f"scaleAndAdd 32-bit n={n}", 12 * n, t32)
 
         for bits in (4, 8):
@@ -221,7 +227,8 @@ def bench_dot(log, sizes=VEC_SIZES):
         # by ~1.5x; a scales-only perturbation lets XLA hoist the integer
         # dot out of the loop entirely.
         p = _slots(8 * n)
-        UV = jnp.asarray(rng.random((p, 2, n), dtype=np.float32) * 2 - 1)
+        UV = jax.random.uniform(jax.random.PRNGKey(2), (p, 2, n),
+                                minval=-1.0, maxval=1.0)  # device-side
 
         def make32(iters):
             # ring slots: both vectors stream from HBM every iteration
@@ -319,44 +326,54 @@ def bench_transpose(log, sizes=MVM_SIZES):
                             return jnp.transpose(a)
                         return jax.lax.fori_loop(0, iters, body, a)[0, 0]
                     return lambda: float(g(A0))
-                return make
+                return make, 1
             p = _slots(nbytes_slot, cap=64)
-            B0 = jnp.asarray(
-                rng.random((p, n, n), dtype=np.float32) * 2 - 1).astype(dtype)
+            B0 = jax.random.uniform(jax.random.PRNGKey(3), (p, n, n),
+                                    minval=-1.0, maxval=1.0).astype(dtype)
 
             def make(iters):
+                # whole-ring batched transpose per iteration (>= 512 MB
+                # — forced HBM); per-op time = dt / p
                 @jax.jit
                 def g(B):
                     def body(i, B):
-                        j = jax.lax.rem(i, p)
-                        b = jax.lax.dynamic_index_in_dim(B, j,
-                                                         keepdims=False)
-                        return jax.lax.dynamic_update_index_in_dim(
-                            B, jnp.transpose(b), j, 0)
+                        return jnp.transpose(B, (0, 2, 1))
                     return jax.lax.fori_loop(0, iters, body, B)[0, 0, 0]
                 return lambda: float(g(B0))
-            return make
+            return make, p
 
-        t32 = chain_time(ring_make(jnp.float32, 8 * n * n))
+        mk32, p32 = ring_make(jnp.float32, 8 * n * n)
+        t32 = chain_time(mk32) / p32
         _row(log, f"transpose 32-bit n={n}", 8 * n * n, t32)
 
         for bits in (4, 8, 16):
             qA = ct.quantize(A, bits)
             if bits == 16:
-                dt = chain_time(ring_make(jnp.float16, 4 * n * n))
+                mk16, p16 = ring_make(jnp.float16, 4 * n * n)
+                dt = chain_time(mk16) / p16
                 _row(log, f"transpose {bits:2d}-bit n={n}", 2 * qA.nbytes,
                      dt, t32)
                 continue
 
+            # carry a TUPLE of pq independent containers per iteration
+            # so the working set exceeds VMEM (a single small carried
+            # matrix rides VMEM and reported >100% of HBM roofline);
+            # per-op time = dt / pq
+            pq = int(min(16, max(1, (RING_BYTES // 2) // (2 * qA.nbytes))))
+            qAs = tuple(
+                type(qA)(codes=jnp.roll(qA.codes, j, axis=0),
+                         scales=qA.scales, rows=qA.rows, cols=qA.cols)
+                for j in range(pq))
+
             def make(iters):
                 @jax.jit
-                def g(qA):
-                    def body(i, q):
-                        return ct.transpose(q)
-                    out = jax.lax.fori_loop(0, iters, body, qA)
-                    return jnp.sum(out.codes[0, :1].astype(jnp.float32))
-                return lambda: float(g(qA))
-            dt = chain_time(make)
+                def g(qs):
+                    def body(i, qs):
+                        return tuple(ct.transpose(q) for q in qs)
+                    out = jax.lax.fori_loop(0, iters, body, qs)
+                    return jnp.sum(out[0].codes[0, :1].astype(jnp.float32))
+                return lambda: float(g(qAs))
+            dt = chain_time(make) / pq
             _row(log, f"transpose {bits:2d}-bit n={n}", 2 * qA.nbytes, dt,
                  t32)
 

@@ -7,8 +7,11 @@ CloverMatrix8.h:203-265), and the fused dequant-FMA-requant scaleAndAdd
 
 The XLA paths in ops/ are semantically identical but draw SR noise from
 threefry (many ops/element); these kernels use ``pltpu.prng_random_bits``
-(hardware PRNG) and fuse absmax/SR/packing into one pass over the data,
-so quantize runs at the f32-read roofline and AXPY at the codes roofline.
+(hardware PRNG) and fuse absmax/SR/packing into one pass over the data.
+Measured v5e (SR on, honest protocol): quantize ~400-450 GB/s (~50% of
+the HBM spec — VPU-compute-bound, not bandwidth-bound), 4-bit AXPY
+~95-100 GB/s (~12%; it still beats an honest HBM-bound fp32 AXPY on
+time, because it moves 8x fewer bytes).
 
 Layout convention: a padded vector is processed as a 2-D (n/512, 512)
 view — EIGHT blocks per row so tiles span all 128 lanes (a (n/64, 64)

@@ -186,6 +186,123 @@ def _kernel(codes_ref, scales_ref, out_ref, cnts_s, cand_s, sm, *,
         out_ref[:] = packed.astype(jnp.int8)
 
 
+def _kernel8(codes_ref, scales_ref, out_ref, bits_s, sm, *,
+             rt: int, k: int):
+    """8-bit variant: 128 elements per row (2 blocks), no nibble planes;
+    the candidate multiset is simply every element's |value| bits (unit
+    weights) — fine for the n <= 2^17 sizes this kernel serves."""
+    ph, g = pl.program_id(0), pl.program_id(1)
+    c = codes_ref[:].astype(jnp.int32)
+    a = jnp.abs(c)
+    m = _expand_groups2(scales_ref[:] * (1.0 / 127.0))   # (RT, 128)
+    v = a.astype(jnp.float32) * m
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+
+    @pl.when(ph == 0)
+    def _():
+        bits_s[pl.dslice(g * rt, rt), :] = bits
+        out_ref[:] = codes_ref[:]                        # dummy block
+
+    @pl.when((ph == 1) & (g == 0))
+    def _():
+        ab = bits_s[:]
+
+        def count_gt(t):
+            return jnp.sum(jnp.where(ab > t, 1, 0))
+
+        def body(_, lohi):
+            lo_, hi_ = lohi
+            mid = lo_ + (hi_ - lo_) // 2
+            below = count_gt(mid) < k
+            return (jnp.where(below, lo_, mid + 1),
+                    jnp.where(below, mid, hi_))
+
+        _, tau = jax.lax.fori_loop(
+            0, 32, body, (jnp.int32(-1), jnp.int32(2**31 - 2)))
+        sm[0, 0] = tau
+        sm[0, 1] = count_gt(tau)
+        sm[0, 2] = 0
+
+    @pl.when(ph == 1)
+    def _():
+        tau = sm[0, 0]
+        gt = bits > tau
+        eq = (bits == tau).astype(jnp.float32)
+        # element order within a row IS lane order (no nibble planes):
+        # full-row strict-upper prefix + cross-row offset
+        r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        U = jnp.where(r < cc, 1.0, 0.0).astype(jnp.bfloat16)
+        intra = jax.lax.dot(eq.astype(jnp.bfloat16), U,
+                            preferred_element_type=jnp.float32)
+        row_tot = jnp.sum(eq, axis=1, keepdims=True)
+        ro = _row_prefix_excl_col(row_tot, rt)
+        rank = sm[0, 2].astype(jnp.float32) + ro + intra
+        fill = jnp.float32(k) - sm[0, 1].astype(jnp.float32)
+        keep = jnp.logical_or(gt, (eq > 0) & (rank < fill))
+        sm[0, 2] = sm[0, 2] + jnp.sum(eq).astype(jnp.int32)
+        out_ref[:] = jnp.where(keep, c, 0).astype(jnp.int8)
+
+
+def _expand_groups2(vals2):
+    """(RT, 2) -> (RT, 128): 64-lane-group broadcast (HIGHEST exact)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+    E = jnp.where(c // 64 == r, 1.0, 0.0)
+    return jax.lax.dot(vals2, E, precision=jax.lax.Precision.HIGHEST)
+
+
+@lru_cache(maxsize=64)
+def _build8(rows: int, rt: int, k: int, interpret: bool):
+    g_total = rows // rt
+    return pl.pallas_call(
+        partial(_kernel8, rt=rt, k=k),
+        grid=(2, g_total),
+        in_specs=[
+            pl.BlockSpec((rt, 128), lambda ph, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 2), lambda ph, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rt, 128), lambda ph, g: (g_total + ph * (g - g_total), 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((g_total + 1) * rt, 128),
+                                       jnp.int8),
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.int32),
+                        pltpu.SMEM((1, 4), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _geometry8(npad: int):
+    if npad % 128:
+        return None
+    rows = npad // 128
+    if rows > 2 * MAX_ROWS or rows < 8:
+        return None
+    rt = next((r for r in (512, 256, 128, 64, 32, 16, 8)
+               if rows % r == 0), None)
+    return (rows, rt) if rt else None
+
+
+def threshold8_pallas_eligible(x, k: int) -> bool:
+    from ..formats import QVec8
+    return isinstance(x, QVec8) and _geometry8(x.length_pad) is not None
+
+
+def threshold8_pallas(x, k: int):
+    from ..formats import QVec8
+    rows, rt = _geometry8(x.length_pad)
+    call = _build8(rows, rt, int(k), pallas_interpret())
+    out = call(x.codes.reshape(rows, 128), x.scales.reshape(rows, 2))
+    return QVec8(codes=out[:rows].reshape(-1), scales=x.scales,
+                 length=x.length)
+
+
 @lru_cache(maxsize=64)
 def _build(rows: int, rt: int, k: int, interpret: bool):
     g_total = rows // rt

@@ -16,6 +16,19 @@ The per-iteration update (IHT; GD omits the threshold):
     t3 = PhiT @ t2
     x  = x + mu * t3
     x  = top_k(x, K)
+
+On the reference's sparse-x trick (CloverMatrix8.h:979-1000 — compute
+Phi@x as a sum of K rows of PhiT): deliberately NOT used here.  On the
+CPU it wins because it skips FLOPs on a compute-bound machine.  On TPU
+the dense fused MVM streams the packed matrix once at ~70-90% of HBM
+bandwidth with zero intermediates, while a gather-based sparse MVM at
+the standard K = n/4 must materialize gathered rows plus a dequantized
+operand (f32/bf16) in HBM — MORE traffic than the dense stream it
+replaces (it only pays off for K < ~n/9, which none of the reference
+protocols use).  ops/sparse.mvm_sparse remains available and tested for
+genuinely sparse regimes.  The round-2 end-to-end targets were met
+dense: 4-bit IHT 67% of HBM roofline at 4096x8192 and 6.2x over fp32
+IHT at 8192x16384 (doc/results/performance_tpu_v5e.txt).
 """
 
 from __future__ import annotations

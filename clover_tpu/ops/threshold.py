@@ -175,9 +175,16 @@ def threshold(x, k: int):
         return QVec4(codes=pack_nibbles(codes), scales=x.scales,
                      length=x.length)
 
-    # 8/16/32-bit: two-stage chunked top_k + scatter (the candidate
-    # space has no small compression; measured faster than bisect+rank
-    # at these widths)
+    if isinstance(x, QVec8):
+        from ..kernels import pallas_enabled
+        from ..kernels.threshold import (
+            threshold8_pallas, threshold8_pallas_eligible)
+        if pallas_enabled() and threshold8_pallas_eligible(x, k):
+            return threshold8_pallas(x, k)
+
+    # 8/16/32-bit XLA path: two-stage chunked top_k + scatter (the
+    # candidate space has no small compression; measured faster than
+    # bisect+rank at these widths)
     vals = _abs_restored(x)
     keep_idx = _top_k_idx(vals, k)
     npad = vals.shape[-1]

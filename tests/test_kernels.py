@@ -154,3 +154,21 @@ def test_threshold4_kernel_matches_xla(rng, monkeypatch):
     out = np.asarray(restore_vec(threshold4_pallas(q2, 100)).values)
     assert np.count_nonzero(out) == 100
     assert np.all(np.nonzero(out)[0] == np.arange(100))
+
+
+def test_threshold8_kernel_matches_xla(rng, monkeypatch):
+    import jax.numpy as jnp
+    from clover_tpu.kernels.threshold import (
+        threshold8_pallas, threshold8_pallas_eligible)
+    from clover_tpu.ops.quantize import quantize_vec, restore_vec
+    from clover_tpu.ops.threshold import threshold as thr
+
+    for n, k in [(2048, 64), (8192, 2048), (65536, 17)]:
+        x = (rng.random(n, dtype=np.float32) * 2 - 1)
+        q = quantize_vec(jnp.asarray(x), 8, key=None)
+        assert threshold8_pallas_eligible(q, k)
+        got = np.asarray(restore_vec(threshold8_pallas(q, k)).values)
+        monkeypatch.setenv("CLOVER_PALLAS", "0")
+        want = np.asarray(restore_vec(thr(q, k)).values)
+        monkeypatch.delenv("CLOVER_PALLAS")
+        np.testing.assert_array_equal(got, want)
