@@ -135,7 +135,7 @@ def bench_restore(log, sizes=VEC_SIZES):
         for bits in (4, 8, 16):
             # one LONG container (>= 512 MB of f32 output per restore)
             # so the write stream is real HBM; time reported /p
-            p = _slots(4 * n, cap=64)
+            p = _slots(4 * n)
             big = jax.random.uniform(jax.random.PRNGKey(4), (p * n,),
                                      minval=-1.0, maxval=1.0)
             q = ct.quantize(big, bits)
@@ -227,22 +227,27 @@ def bench_dot(log, sizes=VEC_SIZES):
         # by ~1.5x; a scales-only perturbation lets XLA hoist the integer
         # dot out of the loop entirely.
         p = _slots(8 * n)
-        UV = jax.random.uniform(jax.random.PRNGKey(2), (p, 2, n),
-                                minval=-1.0, maxval=1.0)  # device-side
+        U = jax.random.uniform(jax.random.PRNGKey(2), (p * n,),
+                               minval=-1.0, maxval=1.0)  # device-side
+        V = jax.random.uniform(jax.random.PRNGKey(5), (p * n,),
+                               minval=-1.0, maxval=1.0)
 
         def make32(iters):
-            # ring slots: both vectors stream from HBM every iteration
+            # whole-ring batched dot (>= 512 MB streamed per iteration;
+            # a per-slot dynamic-index ring hid a full-pair copy);
+            # per-op time = dt / p
             @jax.jit
-            def g(UV):
-                def body(i, s):
-                    j = jax.lax.rem(i, p)
-                    pair = jax.lax.dynamic_index_in_dim(UV, j,
-                                                        keepdims=False)
-                    return s + jnp.dot(pair[0], pair[1],
-                                       preferred_element_type=jnp.float32)
-                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-            return lambda: float(g(UV))
-        t32 = chain_time(make32)
+            def g(U, V):
+                def body(i, carry):
+                    U, s = carry         # carried: the .at update is
+                    U = U.at[0].add(s * 1e-30)   # in-place (donated)
+                    return (U, jnp.dot(U, V,
+                            preferred_element_type=jnp.float32))
+                _, s = jax.lax.fori_loop(0, iters, body,
+                                         (U, jnp.float32(0)))
+                return s
+            return lambda: float(g(U, V))
+        t32 = chain_time(make32) / p
         _row(log, f"dot 32-bit n={n}", 8 * n, t32)
 
         for bits in (4, 8):
@@ -359,7 +364,7 @@ def bench_transpose(log, sizes=MVM_SIZES):
             # so the working set exceeds VMEM (a single small carried
             # matrix rides VMEM and reported >100% of HBM roofline);
             # per-op time = dt / pq
-            pq = int(min(16, max(1, (RING_BYTES // 2) // (2 * qA.nbytes))))
+            pq = int(min(64, max(1, (RING_BYTES // 2) // (2 * qA.nbytes))))
             qAs = tuple(
                 type(qA)(codes=jnp.roll(qA.codes, j, axis=0),
                          scales=qA.scales, rows=qA.rows, cols=qA.cols)
@@ -371,7 +376,10 @@ def bench_transpose(log, sizes=MVM_SIZES):
                     def body(i, qs):
                         return tuple(ct.transpose(q) for q in qs)
                     out = jax.lax.fori_loop(0, iters, body, qs)
-                    return jnp.sum(out[0].codes[0, :1].astype(jnp.float32))
+                    # consume EVERY tuple element or XLA dead-code-
+                    # eliminates all but the first chain
+                    return sum(jnp.sum(o.codes[0, :1].astype(jnp.float32))
+                               for o in out)
                 return lambda: float(g(qAs))
             dt = chain_time(make) / pq
             _row(log, f"transpose {bits:2d}-bit n={n}", 2 * qA.nbytes, dt,
@@ -417,9 +425,7 @@ def run_perf(log=print, quick: bool = False):
     iht = IHT_SIZES[:1] if quick else IHT_SIZES
     log(f"\n{'op':28s} {'time':>12} {'bandwidth':>14} {'%roof':>6} {'vs f32':>7}")
     bench_quantize(log, vec)
-    # the extra 2^25 dot size pushes the fp32 working set past the
-    # 128 MiB VMEM so its baseline is a real HBM number (smaller fp32
-    # vector chains run VMEM-resident — see the measurement notes)
+    bench_restore(log, vec)
     bench_dot(log, vec if quick else vec + [1 << 25])
     bench_axpy(log, vec)
     bench_threshold(log, vec[:2])
