@@ -84,8 +84,8 @@ def bench_mvm_chain(qA, qx, sr: bool):
     # slower; median of five PAIRED diffs keeps both chain lengths in
     # the same chip/tunnel state (independent per-chain minima can
     # fabricate impossible rates) and rides out one-off glitch rounds.
-    diffs = sorted((t2f() - t1f()) / (K2 - K1) for _ in range(5))
-    return diffs[2]
+    diffs = sorted((t2f() - t1f()) / (K2 - K1) for _ in range(9))
+    return diffs[4]
 
 
 def bench_mvm_fp32(A, x):
