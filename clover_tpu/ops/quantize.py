@@ -65,6 +65,10 @@ def restore_vec(q) -> QVec32:
         return q
     if isinstance(q, QVec16):
         return QVec32(values=q.values.astype(jnp.float32), length=q.length)
+    from ..kernels import pallas_enabled
+    from ..kernels.restore import restore_vec_pallas, restore_vec_pallas_eligible
+    if pallas_enabled() and restore_vec_pallas_eligible(q):
+        return restore_vec_pallas(q)
     codes = unpack_nibbles(q.codes) if isinstance(q, QVec4) else q.codes
     mult = _core.expand_vec_scales(q.scales, q.bits)
     return QVec32(values=codes.astype(jnp.float32) * mult, length=q.length)
@@ -101,6 +105,10 @@ def restore_mat(q) -> QMat32:
     if isinstance(q, QMat16):
         return QMat32(values=q.values.astype(jnp.float32),
                       rows=q.rows, cols=q.cols)
+    from ..kernels import pallas_enabled
+    from ..kernels.restore import restore_mat_pallas, restore_mat_pallas_eligible
+    if pallas_enabled() and restore_mat_pallas_eligible(q):
+        return restore_mat_pallas(q)
     codes = unpack_nibbles(q.codes) if isinstance(q, QMat4) else q.codes
     mult = _core.expand_tile_scales(q.scales, q.bits)
     return QMat32(values=codes.astype(jnp.float32) * mult,

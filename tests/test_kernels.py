@@ -156,6 +156,44 @@ def test_threshold4_kernel_matches_xla(rng, monkeypatch):
     assert np.all(np.nonzero(out)[0] == np.arange(100))
 
 
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("n", [512, 4000, 16384])
+def test_restore_vec_kernel_bitexact(rng, bits, n, monkeypatch):
+    """Pallas restore is bit-identical to the XLA unpack path (same
+    multiplier order: code * (scale/qmax)), padding included."""
+    from clover_tpu.kernels.restore import (
+        restore_vec_pallas, restore_vec_pallas_eligible)
+    from clover_tpu.ops.quantize import quantize_vec, restore_vec
+    x = (rng.random(n, dtype=np.float32) * 2 - 1)
+    q = quantize_vec(jnp.asarray(x), bits, key=None)
+    assert restore_vec_pallas_eligible(q)
+    got = restore_vec_pallas(q)
+    monkeypatch.setenv("CLOVER_PALLAS", "0")
+    want = restore_vec(q)
+    monkeypatch.delenv("CLOVER_PALLAS")
+    assert got.length == want.length == n
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(want.values))
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("m,n", [(256, 512), (128, 1024), (200, 500)])
+def test_restore_mat_kernel_bitexact(rng, bits, m, n, monkeypatch):
+    from clover_tpu.kernels.restore import (
+        restore_mat_pallas, restore_mat_pallas_eligible)
+    from clover_tpu.ops.quantize import quantize_mat, restore_mat
+    A = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+    q = quantize_mat(jnp.asarray(A), bits, key=None)
+    assert restore_mat_pallas_eligible(q)
+    got = restore_mat_pallas(q)
+    monkeypatch.setenv("CLOVER_PALLAS", "0")
+    want = restore_mat(q)
+    monkeypatch.delenv("CLOVER_PALLAS")
+    assert (got.rows, got.cols) == (want.rows, want.cols) == (m, n)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(want.values))
+
+
 def test_threshold8_kernel_matches_xla(rng, monkeypatch):
     import jax.numpy as jnp
     from clover_tpu.kernels.threshold import (
