@@ -63,12 +63,18 @@ def _dot4_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
     P is integer-valued with |P| <= 98 < 2^8, so it converts to bf16
     EXACTLY and the block sums run as one PLAIN bf16 MXU matmul with f32
     accumulation (6x cheaper than the HIGHEST-precision f32 matmul this
-    kernel used before; still bit-exact int block sums < 2^24)."""
+    kernel used before; still bit-exact int block sums < 2^24).
+
+    The per-step partial stays a WHOLE-TILE (RT, nbpr) VMEM accumulate;
+    the scalar reduce runs ONCE at the last step.  (A per-step
+    ``acc += jnp.sum(...)`` serializes a ~us-latency cross-lane reduce
+    into every grid step — the r2 log's 8-bit collapse at n=2^25, where
+    32 steps stacked 32 such reduces.)"""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        acc_ref[0, 0] = jnp.float32(0.0)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     pu, pv = u_ref[:], v_ref[:]                      # (RT, 32*nbpr) int8
     hu = jnp.bitwise_and(pu, jnp.int8(-16)).astype(jnp.float32)
@@ -79,23 +85,24 @@ def _dot4_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
     bs = jax.lax.dot(P.astype(jnp.bfloat16), _block_indicator(HALF, nbpr),
                      preferred_element_type=jnp.float32)    # (RT, nbpr)
     comb = us_ref[:] * vs_ref[:] * (1.0 / 49.0)
-    acc_ref[0, 0] += jnp.sum(bs * comb)
+    acc_ref[:] += bs * comb
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        out_ref[0, 0] = acc_ref[0, 0]
+        out_ref[0, 0] = jnp.sum(acc_ref[:])
 
 
 def _dot8_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
     """8-bit products reach 127^2 = 16129 (> bf16's exact-integer range),
     so P is split as P = 256*A + B with |A| < 64 and 0 <= B < 256 — both
     bf16-exact — and the block sums come from two plain bf16 matmuls
-    recombined in f32 (exact: sums < 2^24)."""
+    recombined in f32 (exact: sums < 2^24).  Whole-tile accumulate, one
+    final reduce (see _dot4_kernel)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        acc_ref[0, 0] = jnp.float32(0.0)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     P = u_ref[:].astype(jnp.float32) * v_ref[:].astype(jnp.float32)
     A = jnp.floor(P * (1.0 / 256.0))
@@ -107,11 +114,11 @@ def _dot8_kernel(u_ref, v_ref, us_ref, vs_ref, out_ref, acc_ref, *, nbpr):
                       preferred_element_type=jnp.float32)
     bs = 256.0 * bsA + bsB                           # (RT, nbpr) exact
     comb = us_ref[:] * vs_ref[:] * (1.0 / (127.0 * 127.0))
-    acc_ref[0, 0] += jnp.sum(bs * comb)
+    acc_ref[:] += bs * comb
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        out_ref[0, 0] = acc_ref[0, 0]
+        out_ref[0, 0] = jnp.sum(acc_ref[:])
 
 
 @lru_cache(maxsize=64)
@@ -151,7 +158,7 @@ def _build(bits: int, nb_total: int, interpret: bool):
         in_specs=[cspec, cspec, sspec, sspec],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rt, nbpr), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

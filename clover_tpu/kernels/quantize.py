@@ -51,15 +51,27 @@ def _noise_u(shape, seed_ref, salt, noise: bool):
 
 
 def _sr(x, mult, qm: int, u):
-    qab = jnp.minimum(jnp.floor(jnp.abs(x) * mult + u).astype(jnp.int32), qm)
+    """f32 -> INTEGER-VALUED f32 code in [-qm, qm] (SR floor on |x|).
+
+    Stays in f32 end-to-end: floor yields an exact integer f32, the min
+    clamp and sign reapplication are one pass each, and the packing
+    below consumes integer f32 directly — the old int32 round trip
+    (astype int32, bitwise pack, astype int8) cost ~5 extra full-tile
+    passes per plane.  The clamp DOES bind in the worst case: for the
+    absmax element |x|*mult can round to qm*(1+2^-23) and u can reach
+    1 - 2^-24, putting the sum just past qm+1."""
+    qab = jnp.minimum(jnp.floor(jnp.abs(x) * mult + u), jnp.float32(qm))
     return jnp.where(x < 0.0, -qab, qab)
 
 
 def _pack_cols(q):
-    """int32[..., 64] codes -> packed int8[..., 32] (biased low nibble)."""
-    lo = jnp.bitwise_and(q[..., :HALF] + 8, 15)
-    hi = jnp.left_shift(jnp.bitwise_and(q[..., HALF:], 15), 4)
-    return jnp.bitwise_or(lo, hi).astype(jnp.int8)
+    """Integer-valued f32[..., 64] codes -> packed int8[..., 32].
+
+    byte = 16*hi + (lo+8) lands in [-127, 127] for hi in [-8,7] and
+    lo in [-7,7], so the packed int8 is ONE f32 FMA + ONE f32->int8
+    convert — no two's-complement masking, no shifts (Mosaic has no
+    int8 shifts anyway; the old form masked/shifted in int32)."""
+    return (16.0 * q[..., HALF:] + (q[..., :HALF] + 8.0)).astype(jnp.int8)
 
 
 def _expand_scales(s, w: int):
@@ -183,7 +195,7 @@ def _qmat_kernel(seed_ref, a_ref, codes_ref, scales_ref, *, tm, tn,
     s = _block_absmax(r1, BLOCK)                     # (TM/64, TN/64)
     me = jnp.repeat(_expand_scales(qm / s, BLOCK), BLOCK, axis=0)
     u = _noise_u(a.shape, seed_ref, i * pl.num_programs(1) + j, noise)
-    q = _sr(a, me, qm, u)                            # (TM, TN) int32
+    q = _sr(a, me, qm, u)                      # (TM, TN) integer f32
     if bits == 4:
         codes_ref[:] = jnp.concatenate(
             [_pack_cols(q[:, b * BLOCK:(b + 1) * BLOCK])
@@ -290,9 +302,8 @@ def _axpy_kernel(seed_ref, alpha_ref, uc_ref, us_ref, vc_ref, vs_ref,
             u_lo = u_hi = 0.0
         q_lo = _sr(x_lo, me, qm, u_lo)
         q_hi = _sr(x_hi, me, qm, u_hi)
-        lo = jnp.bitwise_and(q_lo + 8, 15)
-        hi = jnp.left_shift(jnp.bitwise_and(q_hi, 15), 4)
-        codes_ref[:] = jnp.bitwise_or(lo, hi).astype(jnp.int8)
+        # plane layout packs in place: byte = 16*hi + lo + 8 (exact f32)
+        codes_ref[:] = (16.0 * q_hi + (q_lo + 8.0)).astype(jnp.int8)
     else:
         uf = uc_ref[:].astype(jnp.float32)
         vf = vc_ref[:].astype(jnp.float32)
