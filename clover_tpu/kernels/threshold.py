@@ -33,9 +33,32 @@ from .dispatch import pallas_interpret
 
 ROW_BYTES = 128                  # packed bytes per row = 4 blocks
 GPR = 4                          # blocks (32-lane groups) per row
-# Above ~2^17 the single-shot XLA bisect path wins (fewer per-tile
-# fixed-cost matmuls); below it this kernel is 4-10x faster (measured).
-MAX_ROWS = 512
+# Coverage cap: 4096 rows = n = 2^20 (the scratch stays ~1 MB and the
+# 9-way bisect keeps selection latency flat); above that the XLA
+# bisect path takes over.
+MAX_ROWS = 4096
+
+
+def _bisect9(count_gt, k: int):
+    """k-th-largest bit pattern via 9-way bisection: eight INDEPENDENT
+    pivot counts per level (Mosaic pipelines them — each cross-lane
+    reduce is ~us latency, so sequential depth, not throughput, is the
+    cost), 13 levels cover the int32 range (9^13 > 2^41)."""
+    def body(_, lohi):
+        lo_, hi_ = lohi
+        step = jnp.maximum((hi_ - lo_) // 9, 1)
+        mids = [jnp.minimum(lo_ + step * j, hi_) for j in range(1, 9)]
+        cjs = [count_gt(m) for m in mids]
+        lo2, hi2 = lo_, hi_
+        for m, c in zip(mids, cjs):
+            ge = c >= k
+            lo2 = jnp.maximum(lo2, jnp.where(ge, m, lo_))
+            hi2 = jnp.minimum(hi2, jnp.where(ge, hi_, m))
+        return lo2, hi2
+
+    _, tau = jax.lax.fori_loop(
+        0, 13, body, (jnp.int32(-1), jnp.int32(2**31 - 2)))
+    return tau
 
 
 def _place28(vals28, values: bool):
@@ -126,15 +149,7 @@ def _kernel(codes_ref, scales_ref, out_ref, cnts_s, cand_s, sm, *,
         def count_gt(t):
             return jnp.sum(jnp.where(bits > t, cnts, 0))
 
-        def body(_, lohi):
-            lo_, hi_ = lohi
-            mid = lo_ + (hi_ - lo_) // 2
-            below = count_gt(mid) < k
-            return (jnp.where(below, lo_, mid + 1),
-                    jnp.where(below, mid, hi_))
-
-        _, tau = jax.lax.fori_loop(
-            0, 32, body, (jnp.int32(-1), jnp.int32(2**31 - 2)))
+        tau = _bisect9(count_gt, k)
         sm[0, 0] = tau
         sm[0, 1] = count_gt(tau)                        # n_above
         sm[0, 2] = 0                                    # running ties
@@ -190,7 +205,7 @@ def _kernel8(codes_ref, scales_ref, out_ref, bits_s, sm, *,
              rt: int, k: int):
     """8-bit variant: 128 elements per row (2 blocks), no nibble planes;
     the candidate multiset is simply every element's |value| bits (unit
-    weights) — fine for the n <= 2^17 sizes this kernel serves."""
+    weights; no 7-magnitude compression exists at 8 bits)."""
     ph, g = pl.program_id(0), pl.program_id(1)
     c = codes_ref[:].astype(jnp.int32)
     a = jnp.abs(c)
@@ -210,15 +225,7 @@ def _kernel8(codes_ref, scales_ref, out_ref, bits_s, sm, *,
         def count_gt(t):
             return jnp.sum(jnp.where(ab > t, 1, 0))
 
-        def body(_, lohi):
-            lo_, hi_ = lohi
-            mid = lo_ + (hi_ - lo_) // 2
-            below = count_gt(mid) < k
-            return (jnp.where(below, lo_, mid + 1),
-                    jnp.where(below, mid, hi_))
-
-        _, tau = jax.lax.fori_loop(
-            0, 32, body, (jnp.int32(-1), jnp.int32(2**31 - 2)))
+        tau = _bisect9(count_gt, k)
         sm[0, 0] = tau
         sm[0, 1] = count_gt(tau)
         sm[0, 2] = 0
@@ -284,7 +291,7 @@ def _geometry8(npad: int):
     rows = npad // 128
     if rows > 2 * MAX_ROWS or rows < 8:
         return None
-    rt = next((r for r in (512, 256, 128, 64, 32, 16, 8)
+    rt = next((r for r in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
                if rows % r == 0), None)
     return (rows, rt) if rt else None
 
@@ -340,7 +347,7 @@ def _geometry(npad: int):
     rows = npad // (2 * ROW_BYTES)
     if rows > MAX_ROWS or rows < 8:
         return None
-    rt = next((r for r in (1024, 512, 256, 128, 64, 32, 16, 8)
+    rt = next((r for r in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
                if rows % r == 0), None)
     if rt is None:
         return None

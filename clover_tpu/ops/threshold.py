@@ -53,11 +53,15 @@ def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
     of the weighted candidate multiset (cand >= 0, f32), and the count
     strictly above it.
 
-    31-step bisection on the non-negative-float bit ordering — TPU sorts
-    cost ~1 ms at 10^5 elements, the bisection is ~30 cheap reductions.
-    If the multiset has fewer than k entries the result degenerates to
-    tau_bits = 0 / keep-everything, which is correct for thresholding
-    (only zero codes are added to the kept set)."""
+    9-way bisection on the non-negative-float bit ordering — TPU sorts
+    cost ~1 ms at 10^5 elements.  Each level evaluates EIGHT pivots at
+    once ((8, C) broadcast compare, independent reduces): the count
+    passes are throughput-cheap but their cross-lane reduces are
+    ~us-latency each, so sequential DEPTH is what matters — 12 nine-way
+    levels replace 32 two-way steps (9^12 > 2^38 covers the int32
+    range).  If the multiset has fewer than k entries the result
+    degenerates to tau_bits = 0 / keep-everything, which is correct for
+    thresholding (only zero codes are added to the kept set)."""
     bits = jax.lax.bitcast_convert_type(cand, jnp.int32)
     counts = counts.astype(jnp.int32)
     # materialize BEFORE the loop: without the barrier XLA fuses the
@@ -68,16 +72,25 @@ def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
     def count_gt(t):
         return jnp.sum(jnp.where(bits > t, counts, 0))
 
+    j8 = jnp.arange(1, 9, dtype=jnp.int32)
+
     def body(_, lohi):
         lo, hi = lohi
-        mid = lo + (hi - lo) // 2
-        below = count_gt(mid) < k
-        return (jnp.where(below, lo, mid + 1),
-                jnp.where(below, mid, hi))
+        # evenly-stepped pivots in (lo, hi]; step*j8 cannot overflow
+        # (step <= (hi-lo)/9) and max(step,1) guarantees progress at
+        # small widths, where the clamp to hi keeps pivots in range
+        step = jnp.maximum((hi - lo) // 9, 1)
+        mids = jnp.minimum(lo + step * j8, hi)           # (8,)
+        cj = jnp.sum(jnp.where(bits[None, :] > mids[:, None],
+                               counts[None, :], 0), axis=1)
+        ge = cj >= k
+        lo2 = jnp.max(jnp.where(ge, mids, lo))
+        hi2 = jnp.min(jnp.where(ge, hi, mids))
+        return lo2, hi2
 
     lo0 = jnp.int32(-1)
     hi0 = jnp.int32(2**31 - 2)   # > any finite f32 bits; hi-lo fits int32
-    _, hi = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    _, hi = jax.lax.fori_loop(0, 13, body, (lo0, hi0))
     return hi, count_gt(hi)
 
 

@@ -137,7 +137,9 @@ def test_threshold4_kernel_matches_xla(rng, monkeypatch):
     from clover_tpu.ops.quantize import quantize_vec, restore_vec
     from clover_tpu.ops.threshold import threshold as thr
 
-    for n, k in [(2048, 64), (8192, 2048), (4096, 4095), (65536, 17)]:
+    # 262144 covers the extended multi-step grid (rows > old 512 cap)
+    for n, k in [(2048, 64), (8192, 2048), (4096, 4095), (65536, 17),
+                 (262144, 4096)]:
         x = (rng.random(n, dtype=np.float32) * 2 - 1)
         q = quantize_vec(jnp.asarray(x), 4, key=None)
         assert threshold4_pallas_eligible(q, k)
@@ -146,6 +148,14 @@ def test_threshold4_kernel_matches_xla(rng, monkeypatch):
         want = np.asarray(restore_vec(thr(q, k)).values)
         monkeypatch.delenv("CLOVER_PALLAS")
         np.testing.assert_array_equal(got, want)
+
+    # degenerate: fewer nonzero codes than k -> keep them all
+    codes0 = np.zeros(2048, np.int8)
+    codes0[[5, 100, 2000]] = [3, -7, 1]
+    q0 = QVec4(codes=pack_nibbles(jnp.asarray(codes0)),
+               scales=jnp.ones((32,), jnp.float32), length=2048)
+    out0 = np.asarray(restore_vec(threshold4_pallas(q0, 64)).values)
+    assert np.count_nonzero(out0) == 3
 
     # tie storm: every code the same magnitude -> fill by lowest index
     codes = np.full(4096, -5, np.int8)
