@@ -152,6 +152,33 @@ def _block_diag(codes, nb: int, width: int):
     return w3.reshape(nb * width, nb).astype(jnp.int8)
 
 
+def _unoise(seed, shape, noise: bool):
+    if not noise:
+        return 0.0
+    pltpu.prng_seed(seed)
+    bits = pltpu.prng_random_bits(shape)
+    return (jnp.bitwise_and(bits, 0x00FFFFFF).astype(jnp.float32)
+            * (1.0 / (1 << 24)))
+
+
+def _band_sr(y2, qm: float, u):
+    """Band absmax + SR -> (integer-valued f32 codes, scales)."""
+    s = jnp.max(jnp.abs(y2), axis=1, keepdims=True)
+    s = jnp.where(s == 0.0, 1.0, s)
+    qab = jnp.minimum(jnp.floor(jnp.abs(y2) * (qm / s) + u),
+                      jnp.float32(qm))
+    return jnp.where(y2 < 0.0, -qab, qab), s
+
+
+def _write_codes(ycodes_ref, q, out_bits: int):
+    if out_bits == 4:
+        # byte = 16*hi + lo + 8 always fits int8 (see kernels/quantize)
+        ycodes_ref[0] = (16.0 * q[:, HALF:] + (q[:, :HALF] + 8.0)
+                         ).astype(jnp.int8)
+    else:
+        ycodes_ref[0] = q.astype(jnp.int8)
+
+
 def _requant_write(seed_ref, ycodes_ref, yscales_ref, y2, out_bits, noise, i):
     """Band absmax -> SR quantize -> (pack) -> write outputs.
 
@@ -162,26 +189,44 @@ def _requant_write(seed_ref, ycodes_ref, yscales_ref, y2, out_bits, noise, i):
         yscales_ref[0] = jnp.ones_like(yscales_ref[0])
         return
     qm = QMAX[out_bits]
-    s = jnp.max(jnp.abs(y2), axis=1, keepdims=True)
-    s = jnp.where(s == 0.0, 1.0, s)
-    mult = qm / s
-    if noise:
-        pltpu.prng_seed(seed_ref[0] + i)
-        bits = pltpu.prng_random_bits(y2.shape)
-        u = (jnp.bitwise_and(bits, 0x00FFFFFF).astype(jnp.float32)
-             * (1.0 / (1 << 24)))
-    else:
-        u = 0.0
-    qab = jnp.minimum(jnp.floor(jnp.abs(y2) * mult + u).astype(jnp.int32),
-                      int(qm))
-    q = jnp.where(y2 < 0.0, -qab, qab)
-    if out_bits == 4:
-        lo = jnp.bitwise_and(q[:, :HALF] + 8, 15)
-        hi = jnp.left_shift(jnp.bitwise_and(q[:, HALF:], 15), 4)
-        ycodes_ref[0] = jnp.bitwise_or(lo, hi).astype(jnp.int8)
-    else:
-        ycodes_ref[0] = q.astype(jnp.int8)
+    q, s = _band_sr(y2, qm, _unoise(seed_ref[0] + i, y2.shape, noise))
+    _write_codes(ycodes_ref, q, out_bits)
     yscales_ref[0] = s
+
+
+def _requant_axpy_write(seed_ref, alpha_ref, uc_ref, us_ref,
+                        ycodes_ref, yscales_ref, y2, out_bits, noise, i):
+    """Fused epilogue: r = Q(u_hat + alpha * t1_hat) where t1 = Q(y2).
+
+    The reference's scaleAndAdd (CloverVector4.h:1196-1517) folded behind
+    the MVM's band requant: t1 is requantized IN-REGISTER (preserving the
+    unfused mvm -> scaleAndAdd numerics exactly in deterministic mode —
+    the intermediate quantization is NOT skipped) but never written to
+    HBM, and the AXPY costs zero extra kernel launches.  Output blocks
+    coincide with the 64-row bands, so the AXPY's blockwise requant is
+    just a second band requant.
+    """
+    qm = QMAX[out_bits]
+    # leg 1: the MVM's own band requant (same op order as _requant_write)
+    q1, s1 = _band_sr(y2, qm, _unoise(seed_ref[0] + i, y2.shape, noise))
+    # leg 2: scaleAndAdd in the oracle's op order:
+    # x = u_code*(us/qm) + alpha * (t1_code*(s1/qm))
+    if out_bits == 4:
+        p = uc_ref[0]
+        lo = jnp.bitwise_and(p, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
+        hi = jnp.bitwise_and(p, jnp.int8(-16)).astype(jnp.float32) / 16.0
+        u_codes = jnp.concatenate([lo, hi], axis=1)
+    else:
+        u_codes = uc_ref[0].astype(jnp.float32)
+    # Same expression shape as the standalone AXPY kernel
+    # (kernels/quantize.py _axpy_kernel) so the compiler applies the SAME
+    # fma contraction to both: fused is bit-identical to the unfused
+    # mvm_pallas -> axpy_pallas sequence.  (vs the eager XLA path the
+    # contraction costs <=1 output LSB — the axpy kernel's own tolerance.)
+    x = u_codes * (us_ref[0] / qm) + alpha_ref[0] * (q1 * (s1 / qm))
+    q2, s2 = _band_sr(x, qm, _unoise(seed_ref[1] + i, x.shape, noise))
+    _write_codes(ycodes_ref, q2, out_bits)
+    yscales_ref[0] = s2
 
 
 def _combe(ascales_ref, xscales_ref, scale_const: float, flat: bool):
@@ -201,9 +246,21 @@ def _combe(ascales_ref, xscales_ref, scale_const: float, flat: bool):
 # Kernel bodies (one per precision mode)
 # ---------------------------------------------------------------------------
 
+def _epilogue(seed_ref, alpha_ref, uc_ref, us_ref, ycodes_ref, yscales_ref,
+              acc_ref, out_bits, noise, i):
+    y2 = jnp.sum(acc_ref[:], axis=2)
+    if uc_ref is None:
+        _requant_write(seed_ref, ycodes_ref, yscales_ref, y2,
+                       out_bits, noise, i)
+    else:
+        _requant_axpy_write(seed_ref, alpha_ref, uc_ref, us_ref,
+                            ycodes_ref, yscales_ref, y2, out_bits, noise, i)
+
+
 def _kernel_4x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
                 ycodes_ref, yscales_ref, acc_ref, whi_c, wlo_c, *,
-                nb, tm, out_bits, noise, flat):
+                nb, tm, out_bits, noise, flat,
+                alpha_ref=None, uc_ref=None, us_ref=None):
     """Mixed 4-bit matrix x 8-bit vector (CloverMatrix4.h:1093-1449).
     x arrives as int8 codes (NB, 64); hi/lo-position halves are static
     lane slices."""
@@ -240,14 +297,14 @@ def _kernel_4x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
 
     @pl.when(k == nk - 1)
     def _():
-        y2 = jnp.sum(acc_ref[:], axis=2)
-        _requant_write(seed_ref, ycodes_ref, yscales_ref, y2,
-                       out_bits, noise, i)
+        _epilogue(seed_ref, alpha_ref, uc_ref, us_ref, ycodes_ref,
+                  yscales_ref, acc_ref, out_bits, noise, i)
 
 
 def _kernel_8x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
                 ycodes_ref, yscales_ref, acc_ref, w_c, *,
-                nb, tm, out_bits, noise, flat):
+                nb, tm, out_bits, noise, flat,
+                alpha_ref=None, uc_ref=None, us_ref=None):
     """Pure 8-bit (CloverMatrix8.h:481-1299): codes hit the MXU directly."""
     i, k = pl.program_id(0), pl.program_id(1)
     nk = pl.num_programs(1)
@@ -269,9 +326,8 @@ def _kernel_8x8(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
 
     @pl.when(k == nk - 1)
     def _():
-        y2 = jnp.sum(acc_ref[:], axis=2)
-        _requant_write(seed_ref, ycodes_ref, yscales_ref, y2,
-                       out_bits, noise, i)
+        _epilogue(seed_ref, alpha_ref, uc_ref, us_ref, ycodes_ref,
+                  yscales_ref, acc_ref, out_bits, noise, i)
 
 
 def _unpack_x4(xc_ref):
@@ -284,7 +340,8 @@ def _unpack_x4(xc_ref):
 
 def _kernel_4x4(seed_ref, a_ref, xc_ref, ascales_ref,
                 xscales_ref, ycodes_ref, yscales_ref, acc_ref, whi_c, wmix_c,
-                colsum_c, *, nb, tm, out_bits, noise, flat):
+                colsum_c, *, nb, tm, out_bits, noise, flat,
+                alpha_ref=None, uc_ref=None, us_ref=None):
     """Pure 4-bit x 4-bit (CloverMatrix4.h:777-1083).  x arrives PACKED
     (one 32-byte row per block); unpack is a few int32 ops on a tiny
     tile, done in-kernel so an MVM needs zero host-side prep of x."""
@@ -317,18 +374,29 @@ def _kernel_4x4(seed_ref, a_ref, xc_ref, ascales_ref,
 
     @pl.when(k == nk - 1)
     def _():
-        y2 = jnp.sum(acc_ref[:], axis=2)
-        _requant_write(seed_ref, ycodes_ref, yscales_ref, y2,
-                       out_bits, noise, i)
+        _epilogue(seed_ref, alpha_ref, uc_ref, us_ref, ycodes_ref,
+                  yscales_ref, acc_ref, out_bits, noise, i)
 
 
 # ---------------------------------------------------------------------------
 # pallas_call factories (cached per static geometry)
 # ---------------------------------------------------------------------------
 
+def _fused_wrap(core):
+    """Positional-ref adapter for the fused MVM+AXPY variant: scalar
+    prefetch grows to (seed, alpha) and two u-operand inputs follow the
+    scale inputs; the core kernels receive them as keywords."""
+    def k(seed_ref, alpha_ref, a_ref, xc_ref, asc_ref, xsc_ref,
+          uc_ref, us_ref, ycodes_ref, yscales_ref, *scratch, **kw):
+        core(seed_ref, a_ref, xc_ref, asc_ref, xsc_ref,
+             ycodes_ref, yscales_ref, *scratch,
+             alpha_ref=alpha_ref, uc_ref=uc_ref, us_ref=us_ref, **kw)
+    return k
+
+
 @lru_cache(maxsize=64)
 def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
-                noise: bool, interpret: bool):
+                noise: bool, interpret: bool, fused: bool = False):
     tm, tk = _pick_geometry(m_pad, n_pad, mode)
     nb = tk // BLOCK
     gm, gk = m_pad // tm, n_pad // tk
@@ -378,24 +446,33 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
 
     common = dict(nb=nb, tm=tm, out_bits=out_bits, noise=noise,
                   flat=flat)
+    core = {"4x4": _kernel_4x4, "4x8": _kernel_4x8,
+            "8x8": _kernel_8x8}[mode]
+    kernel = partial(_fused_wrap(core) if fused else core, **common)
     if mode == "4x4":
-        kernel = partial(_kernel_4x4, **common)
         in_specs = [a_spec, xc_spec(HALF), ascales_spec, xscales_spec]
         scratch = [acc_scratch, w_scratch, w_scratch,
                    pltpu.VMEM((gk, 1, nb), jnp.float32)]
     elif mode == "4x8":
-        kernel = partial(_kernel_4x8, **common)
         in_specs = [a_spec, xc_spec(BLOCK), ascales_spec, xscales_spec]
         scratch = [acc_scratch, w_scratch, w_scratch]
     else:
-        kernel = partial(_kernel_8x8, **common)
         in_specs = [a_spec, xc_spec(BLOCK), ascales_spec, xscales_spec]
         scratch = [acc_scratch, w_scratch]
+    if fused:
+        # u operand (the AXPY's first input) rides the same per-row-tile
+        # block layout as the outputs
+        in_specs += [
+            pl.BlockSpec((1, tm // BLOCK, pck), lambda i, k, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm // BLOCK, 1), lambda i, k, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2 if fused else 1,
             grid=(gm, gk),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -427,12 +504,22 @@ def mvm_pallas(A, x, key=None):
 
     call, tm, tk, flat = _build_call(mode, m_pad, n_pad, out_bits, noise,
                                      pallas_interpret())
+    # Per-call prep: x codes pass through PACKED/raw (unpacking happens
+    # in-kernel); scales pass through as-is on the flat path.
+    xc, ascales4, xscales2 = _prep_call_args(A, x, mode, tm, tk, flat)
+    yc, ys = call(seed, A.codes, xc, ascales4, xscales2)
+
+    codes = yc.reshape(-1)
+    scales = ys.reshape(-1)
+    out_cls = QVec4 if out_bits == 4 else QVec8
+    return out_cls(codes=codes, scales=scales, length=A.rows)
+
+
+def _prep_call_args(A, x, mode, tm, tk, flat):
+    m_pad, n_pad = A.rows_pad, A.cols_pad
     nb = tk // BLOCK
     gm, nkt = m_pad // tm, n_pad // tk
     nb_total = n_pad // BLOCK
-
-    # Per-call prep: x codes pass through PACKED/raw (unpacking happens
-    # in-kernel); scales pass through as-is on the flat path.
     if flat:
         xscales2 = x.scales.reshape(1, nb_total)
         ascales4 = A.scales
@@ -444,12 +531,52 @@ def mvm_pallas(A, x, key=None):
         xc = x.codes.reshape(nb_total, HALF)        # packed: 32 B per block
     else:
         xc = x.codes.reshape(nb_total, BLOCK)       # int8 codes per block
-    yc, ys = call(seed, A.codes, xc, ascales4, xscales2)
+    return xc, ascales4, xscales2
 
-    codes = yc.reshape(-1)
-    scales = ys.reshape(-1)
+
+def mvm_axpy_pallas(A, x, u, alpha, key_mvm=None, key_axpy=None):
+    """r = Q(restore(u) + alpha * restore(Q(A @ x))) in ONE kernel.
+
+    The IHT/GD iteration's ``t2 = y - t1`` and ``x += mu*t3`` steps
+    (reference: scaleAndAdd_parallel right after mvm_parallel,
+    test/accuracy/02_iht_accuracy.h:79-95) fused behind the MVM — the
+    intermediate quantized MVM result lives only in-register, and the
+    iteration drops from five launches to three.  Deterministic mode is
+    bit-identical to the unfused KERNEL sequence (mvm_pallas ->
+    axpy_pallas); vs the portable XLA path the compiler's dequant-fma
+    contraction costs <=1 output LSB (the same allowance
+    test_axpy_kernel_bitexact grants the standalone AXPY kernel)."""
+    mode = _mode(A, x)
+    assert mode is not None, (type(A), type(x))
+    out_bits = {"4x4": 4, "4x8": 8, "8x8": 8}[mode]
+    m_pad, n_pad = A.rows_pad, A.cols_pad
+    s1, n1 = seed_from(key_mvm)
+    s2, n2 = seed_from(key_axpy)
+    seeds = jnp.concatenate([s1, s2])
+    noise = n1 or n2
+    call, tm, tk, flat = _build_call(mode, m_pad, n_pad, out_bits, noise,
+                                     pallas_interpret(), fused=True)
+    xc, ascales4, xscales2 = _prep_call_args(A, x, mode, tm, tk, flat)
+    gm = m_pad // tm
+    pck = HALF if out_bits == 4 else BLOCK
+    uc3 = u.codes.reshape(gm, tm // BLOCK, pck)
+    us3 = u.scales.reshape(gm, tm // BLOCK, 1)
+    yc, ys = call(seeds, jnp.asarray([alpha], jnp.float32), A.codes, xc,
+                  ascales4, xscales2, uc3, us3)
     out_cls = QVec4 if out_bits == 4 else QVec8
-    return out_cls(codes=codes, scales=scales, length=A.rows)
+    return out_cls(codes=yc.reshape(-1), scales=ys.reshape(-1),
+                   length=A.rows)
+
+
+def mvm_axpy_pallas_eligible(A, x, u) -> bool:
+    mode = _mode(A, x)
+    if mode is None:
+        return False
+    out_bits = {"4x4": 4, "4x8": 8, "8x8": 8}[mode]
+    cls = QVec4 if out_bits == 4 else QVec8
+    if not isinstance(u, cls) or u.length != A.rows:
+        return False
+    return _pick_geometry(A.rows_pad, A.cols_pad, mode) is not None
 
 
 def mvm_pallas_f32(A, x) -> jax.Array:
@@ -468,19 +595,6 @@ def mvm_pallas_f32(A, x) -> jax.Array:
     seed = jnp.zeros((1,), jnp.int32)
     call, tm, tk, flat = _build_call(mode, m_pad, n_pad, 32, False,
                                      pallas_interpret())
-    nb = tk // BLOCK
-    gm, nkt = m_pad // tm, n_pad // tk
-    nb_total = n_pad // BLOCK
-    if flat:
-        xscales2 = x.scales.reshape(1, nb_total)
-        ascales4 = A.scales
-    else:
-        xscales2 = x.scales.reshape(nkt, 1, nb)
-        ascales4 = (A.scales.reshape(gm, tm // BLOCK, nkt, nb)
-                    .transpose(0, 2, 1, 3))
-    if mode == "4x4":
-        xc = x.codes.reshape(nb_total, HALF)
-    else:
-        xc = x.codes.reshape(nb_total, BLOCK)
+    xc, ascales4, xscales2 = _prep_call_args(A, x, mode, tm, tk, flat)
     yc, _ = call(seed, A.codes, xc, ascales4, xscales2)
     return yc.reshape(-1)

@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from ..formats import zeros_vector
-from ..ops import mvm, restore_vec, scale_and_add, threshold
+from ..ops import restore_vec, threshold
+from ..ops.mvm import mvm_axpy
 
 
 class SolveResult(NamedTuple):
@@ -66,11 +67,12 @@ def _op_seeds(key_or_seed, n: int = 4):
 
 
 def _iteration(Phi, PhiT, y, x, mu, k, seed):
+    # Each MVM's scaleAndAdd rides the MVM kernel's epilogue (fused
+    # MVM+AXPY, kernels/mvm.py): the quantized intermediates t1/t3 never
+    # touch HBM and the iteration is two launches plus the threshold.
     k1, k2, k3, k4 = _op_seeds(seed)
-    t1 = mvm(Phi, x, key=k1)                     # t1 = Phi x
-    t2 = scale_and_add(y, t1, -1.0, key=k2)      # t2 = y - t1
-    t3 = mvm(PhiT, t2, key=k3)                   # t3 = Phi' t2
-    x = scale_and_add(x, t3, mu, key=k4)         # x += mu t3
+    t2 = mvm_axpy(Phi, x, y, -1.0, key_mvm=k1, key_axpy=k2)   # y - Phi x
+    x = mvm_axpy(PhiT, t2, x, mu, key_mvm=k3, key_axpy=k4)    # x + mu Phi't2
     if k is not None:
         x = threshold(x, k)
     return x

@@ -105,6 +105,27 @@ def mvm(A, x, key=None):
     return _requant_output(y32, A.rows, out_bits, key)
 
 
+def mvm_axpy(A, x, u, alpha, key_mvm=None, key_axpy=None):
+    """r = scale_and_add(u, mvm(A, x), alpha) with the AXPY fused behind
+    the MVM's band requant on TPU (one launch instead of two; the
+    intermediate quantized MVM result never touches HBM).  Deterministic
+    mode is bit-identical to the unfused mvm_pallas -> axpy_pallas
+    kernel sequence (and within 1 output LSB of the portable XLA
+    sequence — fma contraction, the AXPY kernel's own tolerance); with
+    SR on, the noise stream assignment differs between the fused and
+    unfused paths (both are valid SR draws).
+
+    This is the solver hot-loop form of the reference's back-to-back
+    mvm_parallel + scaleAndAdd_parallel (test/accuracy/02_iht_accuracy.h:
+    79-95)."""
+    from ..kernels import (
+        mvm_axpy_pallas, mvm_axpy_pallas_eligible, pallas_enabled)
+    if pallas_enabled() and mvm_axpy_pallas_eligible(A, x, u):
+        return mvm_axpy_pallas(A, x, u, alpha, key_mvm, key_axpy)
+    from .axpy import scale_and_add
+    return scale_and_add(u, mvm(A, x, key=key_mvm), alpha, key=key_axpy)
+
+
 def _out_bits(A, x) -> int:
     if isinstance(x, QVec32):
         return 32

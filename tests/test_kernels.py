@@ -108,6 +108,51 @@ def test_mvm_kernel_output_container_shape(rng):
     assert out8.codes.shape == (ct.pad_to(192),)
 
 
+@pytest.mark.parametrize("bits_a,bits_x", CONFIGS)
+@pytest.mark.parametrize("m,n", [(512, 384), (512, 1024), (1024, 768)])
+def test_mvm_axpy_fused_bitexact(rng, bits_a, bits_x, m, n):
+    """Fused MVM+AXPY == unfused mvm_pallas -> axpy_pallas KERNEL
+    sequence, bit for bit, in deterministic mode: the fused epilogue's
+    dequant-fma expression has the same shape as the standalone AXPY
+    kernel's, so the compiler contracts both identically.  (vs the eager
+    XLA path either kernel may differ by 1 ulp — fma contraction — which
+    test_axpy_kernel_bitexact already tolerates.)"""
+    from clover_tpu.kernels.mvm import (
+        mvm_axpy_pallas, mvm_axpy_pallas_eligible)
+    from clover_tpu.kernels.quantize import axpy_pallas, axpy_pallas_eligible
+    qA, qx = _mk(rng, m, n, bits_a, bits_x)
+    out_bits = 4 if (bits_a, bits_x) == (4, 4) else 8
+    u = ct.quantize(jnp.asarray(rng.random(m, dtype=np.float32) * 2 - 1),
+                    out_bits)
+    for alpha in (-1.0, 0.00513):
+        assert mvm_axpy_pallas_eligible(qA, qx, u)
+        got = mvm_axpy_pallas(qA, qx, u, alpha)
+        t1 = mvm_pallas(qA, qx, key=None)
+        assert axpy_pallas_eligible(u, t1)
+        want = axpy_pallas(u, t1, alpha, key=None)
+        np.testing.assert_array_equal(np.asarray(got.codes),
+                                      np.asarray(want.codes))
+        np.testing.assert_array_equal(np.asarray(got.scales),
+                                      np.asarray(want.scales))
+
+
+def test_mvm_axpy_op_fallback(rng, monkeypatch):
+    """ops.mvm_axpy falls back to the unfused sequence off-TPU/ineligible
+    and matches it exactly in deterministic mode."""
+    from clover_tpu.ops.mvm import mvm, mvm_axpy
+    from clover_tpu.ops.axpy import scale_and_add
+    qA, qx = _mk(rng, 256, 512, 8, 8)
+    u = ct.quantize(jnp.asarray(rng.random(256, dtype=np.float32)), 8)
+    monkeypatch.setenv("CLOVER_PALLAS", "0")
+    got = mvm_axpy(qA, qx, u, 0.25)
+    want = scale_and_add(u, mvm(qA, qx, key=None), 0.25, key=None)
+    monkeypatch.delenv("CLOVER_PALLAS")
+    np.testing.assert_array_equal(np.asarray(got.codes),
+                                  np.asarray(want.codes))
+    np.testing.assert_array_equal(np.asarray(got.scales),
+                                  np.asarray(want.scales))
+
+
 @pytest.mark.parametrize("bits", [4, 8])
 @pytest.mark.parametrize("n", [512, 1024, 4096])
 def test_dot_kernel_vs_golden(rng, bits, n):
