@@ -205,10 +205,14 @@ def _requant_axpy_write(seed_ref, alpha_ref, uc_ref, us_ref,
     HBM, and the AXPY costs zero extra kernel launches.  Output blocks
     coincide with the 64-row bands, so the AXPY's blockwise requant is
     just a second band requant.
+
+    ``noise`` is a static (mvm_leg, axpy_leg) pair so e.g. a
+    deterministic MVM + SR AXPY keeps the unfused semantics of
+    mvm(key=None) -> scale_and_add(key=k).
     """
     qm = QMAX[out_bits]
     # leg 1: the MVM's own band requant (same op order as _requant_write)
-    q1, s1 = _band_sr(y2, qm, _unoise(seed_ref[0] + i, y2.shape, noise))
+    q1, s1 = _band_sr(y2, qm, _unoise(seed_ref[0] + i, y2.shape, noise[0]))
     # leg 2: scaleAndAdd in the oracle's op order:
     # x = u_code*(us/qm) + alpha * (t1_code*(s1/qm))
     if out_bits == 4:
@@ -224,7 +228,7 @@ def _requant_axpy_write(seed_ref, alpha_ref, uc_ref, us_ref,
     # mvm_pallas -> axpy_pallas sequence.  (vs the eager XLA path the
     # contraction costs <=1 output LSB — the axpy kernel's own tolerance.)
     x = u_codes * (us_ref[0] / qm) + alpha_ref[0] * (q1 * (s1 / qm))
-    q2, s2 = _band_sr(x, qm, _unoise(seed_ref[1] + i, x.shape, noise))
+    q2, s2 = _band_sr(x, qm, _unoise(seed_ref[1] + i, x.shape, noise[1]))
     _write_codes(ycodes_ref, q2, out_bits)
     yscales_ref[0] = s2
 
@@ -396,7 +400,9 @@ def _fused_wrap(core):
 
 @lru_cache(maxsize=64)
 def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
-                noise: bool, interpret: bool, fused: bool = False):
+                noise, interpret: bool, fused: bool = False):
+    # ``noise``: bool for the plain MVM; a static (mvm_leg, axpy_leg)
+    # bool pair for the fused MVM+AXPY (both are hashable cache keys).
     tm, tk = _pick_geometry(m_pad, n_pad, mode)
     nb = tk // BLOCK
     gm, gk = m_pad // tm, n_pad // tk
@@ -553,8 +559,7 @@ def mvm_axpy_pallas(A, x, u, alpha, key_mvm=None, key_axpy=None):
     s1, n1 = seed_from(key_mvm)
     s2, n2 = seed_from(key_axpy)
     seeds = jnp.concatenate([s1, s2])
-    noise = n1 or n2
-    call, tm, tk, flat = _build_call(mode, m_pad, n_pad, out_bits, noise,
+    call, tm, tk, flat = _build_call(mode, m_pad, n_pad, out_bits, (n1, n2),
                                      pallas_interpret(), fused=True)
     xc, ascales4, xscales2 = _prep_call_args(A, x, mode, tm, tk, flat)
     gm = m_pad // tm
