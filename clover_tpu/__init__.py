@@ -13,7 +13,7 @@ from .formats import (
     pack_nibbles, pad_to, unpack_nibbles, zeros_vector,
 )
 from .ops import (
-    dot, gemm_f32, mvm, mvm_batched, mvm_f32, mvm_sparse, quantize,
+    dot, gemm_f32, mvm, mvm_axpy, mvm_batched, mvm_f32, mvm_sparse, quantize,
     quantize_mat, quantize_vec, restore, restore_mat, restore_vec,
     scale_and_add, threshold, transpose,
 )
@@ -27,6 +27,7 @@ __all__ = [
     "pack_nibbles", "unpack_nibbles", "pad_to", "zeros_vector",
     "quantize", "quantize_vec", "quantize_mat",
     "restore", "restore_vec", "restore_mat",
-    "dot", "scale_and_add", "mvm", "mvm_f32", "threshold", "transpose",
+    "dot", "scale_and_add", "mvm", "mvm_axpy", "mvm_f32", "threshold",
+    "transpose",
     "mvm_sparse", "mvm_batched", "gemm_f32",
 ]
