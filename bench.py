@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 
 import clover_tpu as ct
+from clover_tpu.utils.compcache import enable as _enable_compcache
+
+_enable_compcache()
 
 N = 16384
 # Chain lengths sized so the differenced signal (K2-K1 ops, ~50 ms)

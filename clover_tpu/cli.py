@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from .harness.sysinfo import print_banner
+    from .utils.compcache import enable as enable_compcache
+
+    enable_compcache()
 
     if not any((args.validate, args.performance, args.accuracy,
                 args.grid_search)):
