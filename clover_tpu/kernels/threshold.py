@@ -33,10 +33,16 @@ from .dispatch import pallas_interpret
 
 ROW_BYTES = 128                  # packed bytes per row = 4 blocks
 GPR = 4                          # blocks (32-lane groups) per row
-# Coverage cap: 4096 rows = n = 2^20 (the scratch stays ~1 MB and the
-# 9-way bisect keeps selection latency flat); above that the XLA
-# bisect path takes over.
-MAX_ROWS = 4096
+# Coverage cap: 2048 rows = n = 2^19.  Measured crossover (r2 rt sweep):
+# the fused kernel wins up to 2^18-2^19 (43.8 vs 53.2 us at 2^18), but
+# at 2^20 even the best tile height (rt=1024, 168 us) loses to the XLA
+# candidate-bisect path (148 us) — the per-tile selection matmuls and
+# the (rows, 32) bisect reduces grow faster than the XLA path's.
+# The 8-bit kernel keeps its own (larger) cap: its 128-elem rows have no
+# nibble-plane bookkeeping and it still beats XLA 2.4x at 2^20
+# (118 vs 284 us measured).
+MAX_ROWS = 2048
+MAX_ROWS8 = 8192
 
 
 def _bisect9(count_gt, k: int):
@@ -289,7 +295,7 @@ def _geometry8(npad: int):
     if npad % 128:
         return None
     rows = npad // 128
-    if rows > 2 * MAX_ROWS or rows < 8:
+    if rows > MAX_ROWS8 or rows < 8:
         return None
     rt = next((r for r in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
                if rows % r == 0), None)
@@ -347,7 +353,9 @@ def _geometry(npad: int):
     rows = npad // (2 * ROW_BYTES)
     if rows > MAX_ROWS or rows < 8:
         return None
-    rt = next((r for r in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+    # rt <= 1024: the (rt, rt) triangular row-prefix build grows with
+    # rt^2 (247.6 -> 167.9 us at rows=4096 going 2048 -> 1024)
+    rt = next((r for r in (1024, 512, 256, 128, 64, 32, 16, 8)
                if rows % r == 0), None)
     if rt is None:
         return None
