@@ -9,13 +9,17 @@ The XLA paths in ops/ are semantically identical but draw SR noise from
 threefry (many ops/element); these kernels use ``pltpu.prng_random_bits``
 (hardware PRNG) and fuse absmax/SR/packing into one pass over the data.
 Measured v5e (SR on, honest protocol): quantize ~400-450 GB/s (~50% of
-the HBM spec — VPU-compute-bound, not bandwidth-bound), 4-bit AXPY
-~95-100 GB/s (~12%; it still beats an honest HBM-bound fp32 AXPY on
-time, because it moves 8x fewer bytes).
+the HBM spec — VPU-compute-bound, not bandwidth-bound), AXPY ~113-116
+GB/s 4/8-bit (~14%; beats an honest HBM-bound fp32 AXPY on time by
+moving 8x fewer bytes.  The floor is the f32 dequant/requant op count:
+a byte-passthrough kernel through the same tiles measures ~360 GB/s,
+and every wider/narrower tiling or deferred-epilogue variant is within
+a few % — see _axpy_grp).
 
-Layout convention: a padded vector is processed as a 2-D (n/512, 512)
-view — EIGHT blocks per row so tiles span all 128 lanes (a (n/64, 64)
-layout runs the VPU at half width and was measured ~4x slower).  All
+Layout convention: quantize processes a padded vector as a 2-D
+(n/512, 512) view — EIGHT blocks per row so tiles span all 128 lanes (a
+(n/64, 64) layout runs the VPU at half width and was measured ~4x
+slower); AXPY widens further to up to 64 blocks/row (_axpy_grp).  All
 arithmetic (dequant, FMA, SR) runs WHOLE-TILE: per-block scales are
 expanded to full lane width by exact chained selects (`_expand_scales`)
 and, for 4-bit, the packed hi/lo nibble planes are processed as two
@@ -315,14 +319,26 @@ def _axpy_kernel(seed_ref, alpha_ref, uc_ref, us_ref, vc_ref, vs_ref,
     scales_ref[:] = s
 
 
+def _axpy_grp(n_pad: int) -> int:
+    """Widest code tile that divides the vector: 64 blocks/row makes the
+    4-bit plane arrays 2048 f32 lanes wide.  Measured n=2^24 v5e (bit-
+    identical outputs at every width): 4-bit 96 -> 115 GB/s and 8-bit
+    sweeps likewise — narrow (rt, 256) tiles leave the VPU underfed."""
+    return next(g for g in (64, 32, 16, 8) if n_pad % (g * BLOCK) == 0)
+
+
 @lru_cache(maxsize=64)
-def _build_axpy(n_pad: int, bits: int, noise: bool, interpret: bool):
-    rows = n_pad // (GRP * BLOCK)
-    rt = _pick_rt(rows)
-    w = (HALF if bits == 4 else BLOCK) * GRP
+def _build_axpy(n_pad: int, bits: int, noise: bool, interpret: bool,
+                grp: int = GRP, rt: int | None = None):
+    rows = n_pad // (grp * BLOCK)
+    if rt is None:
+        cap = max(8192 // grp, 8)
+        rt = next(r for r in (cap, 512, 256, 128, 64, 32, 16, 8, rows)
+                  if r <= cap and rows % r == 0)
+    w = (HALF if bits == 4 else BLOCK) * grp
     cspec = pl.BlockSpec((rt, w), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((rt, GRP), lambda i, *_: (i, 0),
+    sspec = pl.BlockSpec((rt, grp), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_axpy_kernel, bits=bits, noise=noise),
@@ -334,28 +350,31 @@ def _build_axpy(n_pad: int, bits: int, noise: bool, interpret: bool):
         ),
         out_shape=[
             jax.ShapeDtypeStruct((rows, w), jnp.int8),
-            jax.ShapeDtypeStruct((rows, GRP), jnp.float32),
+            jax.ShapeDtypeStruct((rows, grp), jnp.float32),
         ],
         interpret=interpret,
     )
 
 
-def axpy_pallas(u, v, alpha, key=None):
+def axpy_pallas(u, v, alpha, key=None, grp: int | None = None,
+                rt: int | None = None):
     """r = Q(restore(u) + alpha*restore(v)), u/v QVec4 or QVec8 alike."""
     assert type(u) is type(v)
     bits = u.bits
     n_pad = u.length_pad
+    if grp is None:
+        grp = _axpy_grp(n_pad)
     nb = n_pad // BLOCK
     w = HALF if bits == 4 else BLOCK
     seed, noise = seed_from(key)
     alpha = jnp.asarray([alpha], jnp.float32)
-    call = _build_axpy(n_pad, bits, noise, pallas_interpret())
-    rows = n_pad // (GRP * BLOCK)
-    wg = w * GRP
+    call = _build_axpy(n_pad, bits, noise, pallas_interpret(), grp, rt)
+    rows = n_pad // (grp * BLOCK)
+    wg = w * grp
     codes, scales = call(
         seed, alpha,
-        u.codes.reshape(rows, wg), u.scales.reshape(rows, GRP),
-        v.codes.reshape(rows, wg), v.scales.reshape(rows, GRP))
+        u.codes.reshape(rows, wg), u.scales.reshape(rows, grp),
+        v.codes.reshape(rows, wg), v.scales.reshape(rows, grp))
     return type(u)(codes=codes.reshape(-1), scales=scales.reshape(-1),
                    length=u.length)
 
