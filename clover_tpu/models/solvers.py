@@ -27,8 +27,9 @@ operand (f32/bf16) in HBM — MORE traffic than the dense stream it
 replaces (it only pays off for K < ~n/9, which none of the reference
 protocols use).  ops/sparse.mvm_sparse remains available and tested for
 genuinely sparse regimes.  The round-2 end-to-end targets were met
-dense: 4-bit IHT 67% of HBM roofline at 4096x8192 and 6.2x over fp32
-IHT at 8192x16384 (doc/results/performance_tpu_v5e.txt).
+dense: 4-bit IHT 83% of HBM roofline at 4096x8192 (20.3k iters/s) and
+8.3x/6.7x over fp32 IHT at 4096x8192/8192x16384
+(doc/results/performance_tpu_v5e.txt).
 """
 
 from __future__ import annotations
