@@ -370,10 +370,27 @@ def bench_transpose(log, sizes=MVM_SIZES):
                          scales=qA.scales, rows=qA.rows, cols=qA.cols)
                 for j in range(pq))
 
+            # XLA cannot alias a pallas output to the fori_loop carry, so
+            # a 1-call chain pays an extra full-matrix copy per step
+            # (measured +74% at n=16K).  When a single matrix dwarfs VMEM
+            # (pq == 1) we chain PAIRS T(T(q)) — the intermediate ping-
+            # pongs copy-free in HBM and per-op time is flat at the true
+            # kernel cost (pallas is opaque; the pair cannot be
+            # simplified away like the fp32 one would be).  At pq > 1 a
+            # paired intermediate FITS in the 128 MiB VMEM and fabricates
+            # >100%-of-roofline rows (measured 1.3 TB/s for the 67 MB
+            # 8-bit matrix at n=8192), so pairing is gated on one matrix
+            # exceeding VMEM; smaller sizes keep the single-call chain
+            # and eat the carry copy — the conservative direction.
+            calls = 2 if qA.nbytes >= 128 * 1024 * 1024 else 1
+
             def make(iters):
                 @jax.jit
                 def g(qs):
                     def body(i, qs):
+                        if calls == 2:
+                            return tuple(ct.transpose(ct.transpose(q))
+                                         for q in qs)
                         return tuple(ct.transpose(q) for q in qs)
                     out = jax.lax.fori_loop(0, iters, body, qs)
                     # consume EVERY tuple element or XLA dead-code-
@@ -381,7 +398,7 @@ def bench_transpose(log, sizes=MVM_SIZES):
                     return sum(jnp.sum(o.codes[0, :1].astype(jnp.float32))
                                for o in out)
                 return lambda: float(g(qAs))
-            dt = chain_time(make) / pq
+            dt = chain_time(make) / (calls * pq)
             _row(log, f"transpose {bits:2d}-bit n={n}", 2 * qA.nbytes, dt,
                  t32)
 
