@@ -7,10 +7,14 @@ the reference's heap is order-dependent on ties, so we fix a deterministic
 rule (its validation compares restored top-K sets at 10% tolerance,
 test/validate/02_vector.cpp:449-554, which this satisfies).
 
-TPU-native design: ``jax.lax.top_k`` over |restored| (a single fused
-reduce), then a scatter mask over the codes.  The distributed version
-(per-shard top-k + gathered merge) lives in clover_tpu.parallel — the same
-two-phase algorithm as the reference's parallel heap merge
+TPU-native design: sort-free exact k-th-value bisection over the
+non-negative-float bit ordering (TPU sorts cost ~1 ms at 10^5 elements).
+4-bit compresses the candidate multiset to per-(block, magnitude) counts
+built by indicator matmuls on the MXU; 8/16/32-bit bisect the elements
+directly.  Ties take a rank-free ``lax.cond`` fast path when they fit
+the remaining slots exactly (the generic case).  The distributed version
+(per-shard top-k + gathered merge) lives in clover_tpu.parallel — the
+same two-phase algorithm as the reference's parallel heap merge
 (CloverVector4.h:1975-2060) with ICI standing in for shared memory.
 """
 
@@ -31,9 +35,11 @@ _CHUNK = 2048
 def _top_k_idx(vals: jax.Array, k: int) -> jax.Array:
     """Indices of the top-k values; deterministic lower-index tie-break.
 
-    For large vectors a two-stage select (per-2048-chunk top-k, then
-    top-k over the C*k candidates) replaces the full-length sort — the
-    global top-k is always a subset of the per-chunk top-k's, and
+    Used by the sharded threshold merge (clover_tpu.parallel.ops), which
+    needs shard-local INDICES to gather candidates across the mesh.  For
+    large vectors a two-stage select (per-2048-chunk top-k, then top-k
+    over the C*k candidates) replaces the full-length sort — the global
+    top-k is always a subset of the per-chunk top-k's, and
     ``lax.top_k``'s stable ordering preserves the lower-index tie-break
     through both stages (candidates stay in (chunk, rank) order)."""
     npad = vals.shape[-1]
@@ -49,29 +55,28 @@ def _top_k_idx(vals: jax.Array, k: int) -> jax.Array:
 
 
 def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
-    """(tau_bits, n_above): the bit pattern of the k-th largest element
-    of the weighted candidate multiset (cand >= 0, f32), and the count
-    strictly above it.
+    """(tau_bits, n_above, n_eq): the bit pattern of the k-th largest
+    element of the weighted candidate multiset (cand >= 0, f32), the
+    count strictly above it, and the tie multiplicity at it.
 
     9-way bisection on the non-negative-float bit ordering — TPU sorts
     cost ~1 ms at 10^5 elements.  Each level evaluates EIGHT pivots at
-    once ((8, C) broadcast compare, independent reduces): the count
-    passes are throughput-cheap but their cross-lane reduces are
-    ~us-latency each, so sequential DEPTH is what matters — 12 nine-way
-    levels replace 32 two-way steps (9^12 > 2^38 covers the int32
-    range).  If the multiset has fewer than k entries the result
-    degenerates to tau_bits = 0 / keep-everything, which is correct for
-    thresholding (only zero codes are added to the kept set)."""
+    once (broadcast compare, independent reduces): the count passes are
+    throughput-cheap but their cross-lane reduces are ~us-latency each,
+    so sequential DEPTH is what matters.  The range is seeded with the
+    multiset max, so TEN nine-way levels cover the remaining positive-
+    float range (9^10 > 2^31).  If the multiset has fewer than k entries
+    the result degenerates to tau_bits = 0 / keep-everything, which is
+    correct for thresholding (only zero codes are added to the kept
+    set).  cand/counts may be any (equal) shape; they are reduced over
+    all axes."""
     bits = jax.lax.bitcast_convert_type(cand, jnp.int32)
     counts = counts.astype(jnp.int32)
     # materialize BEFORE the loop: without the barrier XLA fuses the
     # candidate/count computation into the while body and recomputes it
     # on every bisection step (measured 30x slowdown)
     bits, counts = jax.lax.optimization_barrier((bits, counts))
-
-    def count_gt(t):
-        return jnp.sum(jnp.where(bits > t, counts, 0))
-
+    axes = tuple(range(1, bits.ndim + 1))
     j8 = jnp.arange(1, 9, dtype=jnp.int32)
 
     def body(_, lohi):
@@ -81,17 +86,20 @@ def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
         # small widths, where the clamp to hi keeps pivots in range
         step = jnp.maximum((hi - lo) // 9, 1)
         mids = jnp.minimum(lo + step * j8, hi)           # (8,)
-        cj = jnp.sum(jnp.where(bits[None, :] > mids[:, None],
-                               counts[None, :], 0), axis=1)
+        m8 = mids.reshape((8,) + (1,) * bits.ndim)
+        cj = jnp.sum(jnp.where(bits[None] > m8, counts[None], 0),
+                     axis=axes)
         ge = cj >= k
         lo2 = jnp.max(jnp.where(ge, mids, lo))
         hi2 = jnp.min(jnp.where(ge, hi, mids))
         return lo2, hi2
 
     lo0 = jnp.int32(-1)
-    hi0 = jnp.int32(2**31 - 2)   # > any finite f32 bits; hi-lo fits int32
-    _, hi = jax.lax.fori_loop(0, 13, body, (lo0, hi0))
-    return hi, count_gt(hi)
+    hi0 = jnp.max(bits)          # k >= 1 => k-th largest <= multiset max
+    _, tau = jax.lax.fori_loop(0, 10, body, (lo0, hi0))
+    n_above = jnp.sum(jnp.where(bits > tau, counts, 0))
+    n_eq = jnp.sum(jnp.where(bits == tau, counts, 0))
+    return tau, n_above, n_eq
 
 
 def _strict_upper(w: int) -> jax.Array:
@@ -124,24 +132,77 @@ def _prefix_excl(v: jax.Array) -> jax.Array:
     return (intra + off[:, None]).reshape(-1)[:m]
 
 
-def _keep_mask(av: jax.Array, tau_bits, n_above, k: int, length: int):
-    """gt-or-first-ties mask with the golden (lower index first) order.
+def _wide_cols(npad: int) -> int:
+    """Element columns of the wide 2-D view (whole 64-blocks per row;
+    npad is always a multiple of 128 so 128 always divides)."""
+    for w in (1024, 512, 256, 128):
+        if npad % w == 0:
+            return w
+    raise AssertionError(f"npad={npad} not a multiple of 128")
 
-    Tie ranks = per-64-block exclusive prefix (one triangular matmul)
-    plus a hierarchical cross-block offset prefix — no full-length
-    cumsum (XLA's lowering measured ~140 us at n=2^20)."""
-    npad = av.shape[-1]
-    bits = jax.lax.bitcast_convert_type(av, jnp.int32)
-    gt = bits > tau_bits
-    eq = bits == tau_bits
-    if length < npad:
-        eq = jnp.logical_and(eq, jnp.arange(npad) < length)
-    eqf = eq.astype(jnp.float32).reshape(-1, BLOCK)
-    intra = _row_prefix_excl(eqf)                      # (nb, 64)
-    blk_off = _prefix_excl(jnp.sum(eqf, axis=1))       # (nb,)
-    rank = (blk_off[:, None] + intra).reshape(-1)
-    fill = (jnp.int32(k) - n_above).astype(jnp.float32)
-    return jnp.logical_or(gt, jnp.logical_and(eq, rank < fill))
+
+def _threshold4_xla(x, k: int):
+    """4-bit XLA threshold: wide-view candidate build + bisect + mask.
+
+    r2 rebuild (139 -> 51 us at n=2^20 on v5e): per-(block, magnitude)
+    counts come from seven indicator bf16 matmuls on the MXU (counts
+    <= 64, exact) instead of seven (nb, 64) sublane reduces (~90 us of
+    the old cost); ties take a rank-free fast path via ``lax.cond``
+    whenever the multiset tie count exactly fits the remaining slots —
+    the generic case, since tau is one specific block's a*s/7 value."""
+    npad = x.length_pad
+    w = _wide_cols(npad)
+    rows, gpr = npad // w, w // BLOCK
+    codes = unpack_nibbles(x.codes)
+    ca = jnp.abs(codes).astype(jnp.float32).reshape(rows, w)
+    m7 = (x.scales / 7.0).reshape(rows, gpr)   # same divide as restore
+    r = jax.lax.broadcasted_iota(jnp.int32, (w, gpr), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (w, gpr), 1)
+    G = jnp.where(r // BLOCK == c, 1.0, 0.0).astype(jnp.bfloat16)
+    cnts, cands = [], []
+    for a in range(1, 8):
+        e = (ca == a).astype(jnp.bfloat16)
+        cnts.append(jax.lax.dot(e, G, preferred_element_type=jnp.float32))
+        cands.append(jnp.float32(a) * m7)
+    counts = jnp.concatenate(cnts, axis=1)             # (rows, 7*gpr)
+    cand = jnp.concatenate(cands, axis=1)
+    tau, n_above, n_eq = _tau_bisect(cand, counts, k)
+
+    # element |values| in the wide view: ca * (s/7) is bit-identical to
+    # |restore| (sign-magnitude f32: |a*b| == |a|*|b| bitwise), and the
+    # a == |code| candidate above is the SAME f32 product
+    me = jnp.repeat(m7, BLOCK, axis=1)
+    ebits = jax.lax.bitcast_convert_type(ca * me, jnp.int32)
+    gt = ebits > tau
+    eq = ebits == tau
+    if x.length < npad:
+        eq = jnp.logical_and(
+            eq, (jnp.arange(npad) < x.length).reshape(rows, w))
+    fill = k - n_above
+
+    def fast(_):
+        return jnp.logical_or(gt, eq)
+
+    def slow(_):
+        # golden tie order: |value| desc, index asc — per-64-block
+        # exclusive prefix (one triangular matmul) + hierarchical
+        # cross-block offsets (no full-length cumsum: XLA's lowering
+        # measured ~140 us at n=2^20)
+        eqf = eq.astype(jnp.float32).reshape(-1, BLOCK)
+        intra = _row_prefix_excl(eqf)                  # (nb, 64)
+        blk_off = _prefix_excl(jnp.sum(eqf, axis=1))   # (nb,)
+        rank = (blk_off[:, None] + intra).reshape(rows, w)
+        return jnp.logical_or(
+            gt, jnp.logical_and(eq, rank < fill.astype(jnp.float32)))
+
+    # n_eq counts MULTISET ties; it equals the element-level tie count
+    # whenever tau > 0 (zero codes are not in the multiset).  tau == 0
+    # (fewer than k nonzeros) must rank zeros by index -> slow path.
+    mask = jax.lax.cond(jnp.logical_and(n_eq == fill, tau > 0),
+                        fast, slow, None)
+    kept = jnp.where(mask.reshape(-1), codes, jnp.int8(0))
+    return QVec4(codes=pack_nibbles(kept), scales=x.scales,
+                 length=x.length)
 
 
 def _abs_restored(x) -> jax.Array:
@@ -152,41 +213,62 @@ def _abs_restored(x) -> jax.Array:
     return av
 
 
+def _dense_keep_mask(av: jax.Array, k: int) -> jax.Array:
+    """Top-k keep mask over a padded |values| vector (padding = -1.0).
+
+    Same exact-bisection structure as the 4-bit path but with the
+    elements THEMSELVES as the weight-1 candidate multiset (no small
+    compression exists at >= 8 bits).  Padding sentinels (-1.0) have
+    negative bit patterns, below every pivot (pivots are >= 0), so they
+    are never counted, never gt, and never tie.  The rank-free tie fast
+    path is valid even at tau == 0 here: zero-valued ties ARE candidates
+    (unlike the 4-bit multiset), so n_eq is the true tie count.
+    Measured (v5e, n=2^21, 8-bit): 275 us vs 531 us for the two-stage
+    chunked lax.top_k this replaces at large n."""
+    npad = av.shape[-1]
+    w = _wide_cols(npad)
+    ev = av.reshape(npad // w, w)
+    tau, n_above, n_eq = _tau_bisect(ev, jnp.ones_like(ev, jnp.int32), k)
+    ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
+    gt = ebits > tau
+    eq = ebits == tau
+    fill = k - n_above
+
+    def fast(_):
+        return jnp.logical_or(gt, eq)
+
+    def slow(_):
+        eqf = eq.astype(jnp.float32).reshape(-1, BLOCK)
+        intra = _row_prefix_excl(eqf)
+        blk_off = _prefix_excl(jnp.sum(eqf, axis=1))
+        rank = (blk_off[:, None] + intra).reshape(ev.shape)
+        return jnp.logical_or(
+            gt, jnp.logical_and(eq, rank < fill.astype(jnp.float32)))
+
+    return jax.lax.cond(n_eq == fill, fast, slow, None).reshape(-1)
+
+
 def threshold(x, k: int):
     """Return x with all but its K largest-magnitude elements zeroed.
 
-    Selection = exact k-th-value bisection over a compressed candidate
-    multiset: for 4-bit, per-block counts of the 7 code magnitudes
-    (the only values a block can take); for 8/16/32-bit, per-chunk
-    top-k candidates.  No full-length sort or top-k ever runs — measured
-    ~7x faster than the two-stage lax.top_k at n=2^20 (TPU top_k is
-    sort-based).  Tie-break matches the golden oracle: |value| desc,
-    index asc."""
+    Selection = exact k-th-value bisection: for 4-bit over a compressed
+    candidate multiset (per-block counts of the 7 code magnitudes — the
+    only values a block can take); for 8/16/32-bit over the elements
+    themselves.  No full-length sort or top-k ever runs (TPU top_k is
+    sort-based; measured 1.6-3.2x slower than the dense bisect at every
+    size).  Tie-break matches the golden oracle: |value| desc, index
+    asc."""
     k = int(k)
     if k >= x.length:
         return x
 
     if isinstance(x, QVec4):
-        from ..kernels import pallas_enabled
-        from ..kernels.threshold import (
-            threshold4_pallas, threshold4_pallas_eligible)
-        if pallas_enabled() and threshold4_pallas_eligible(x, k):
-            return threshold4_pallas(x, k)
-        # XLA path: candidate compression — value a*s_b/7 with
-        # multiplicity counts[b, a], a in 1..7 (~n/9 candidates), then
-        # the exact bisection.  No top_k / sort anywhere.
-        av = _abs_restored(x)
-        codes = unpack_nibbles(x.codes)
-        ca = jnp.abs(codes).astype(jnp.int32).reshape(-1, BLOCK)
-        counts = jnp.stack(
-            [jnp.sum(ca == a, axis=1) for a in range(1, 8)], axis=1)
-        cand = (jnp.arange(1, 8, dtype=jnp.float32)[None, :]
-                * (x.scales[:, None] / 7.0)).reshape(-1)
-        tau_bits, n_above = _tau_bisect(cand, counts.reshape(-1), k)
-        mask = _keep_mask(av, tau_bits, n_above, k, x.length)
-        codes = jnp.where(mask, codes.reshape(-1), jnp.int8(0))
-        return QVec4(codes=pack_nibbles(codes), scales=x.scales,
-                     length=x.length)
+        # candidate compression — value a*s_b/7 with multiplicity
+        # counts[b, a], a in 1..7 (~n/9 candidates), then the exact
+        # bisection.  No top_k / sort anywhere.  The r1 fused Pallas
+        # kernel was removed in r2: this path beats it at EVERY size
+        # (3.0 vs 13.8 us at n=2^16, 42 vs 109 us at 2^19 on v5e).
+        return _threshold4_xla(x, k)
 
     if isinstance(x, QVec8):
         from ..kernels import pallas_enabled
@@ -195,13 +277,11 @@ def threshold(x, k: int):
         if pallas_enabled() and threshold8_pallas_eligible(x, k):
             return threshold8_pallas(x, k)
 
-    # 8/16/32-bit XLA path: two-stage chunked top_k + scatter (the
-    # candidate space has no small compression; measured faster than
-    # bisect+rank at these widths)
-    vals = _abs_restored(x)
-    keep_idx = _top_k_idx(vals, k)
-    npad = vals.shape[-1]
-    mask = jnp.zeros((npad,), jnp.bool_).at[keep_idx].set(True)
+    # 8-bit past the kernel cap, and all 16/32-bit: exact dense
+    # bisection (no sort; see _dense_keep_mask).  Beats the r1 two-stage
+    # chunked lax.top_k at every size (32-bit: 11 vs 37 us at n=2^16,
+    # 303 vs 552 us at 2^21 on v5e), so that path was removed.
+    mask = _dense_keep_mask(_abs_restored(x), k)
     if isinstance(x, QVec8):
         codes = jnp.where(mask, x.codes, jnp.int8(0))
         return QVec8(codes=codes, scales=x.scales, length=x.length)

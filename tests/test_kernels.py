@@ -172,26 +172,25 @@ def test_dot_kernel_vs_golden(rng, bits, n):
     assert abs(got - ref) <= 0.02 * max(1.0, abs(ref) / 10), (got, ref)
 
 
-def test_threshold4_kernel_matches_xla(rng, monkeypatch):
-    """Fused threshold kernel (interpret) is bit-identical to the XLA
-    bisect path, including heavy-tie fills in golden index order."""
+def test_threshold4_xla_edge_cases(rng):
+    """4-bit wide-view bisect path (r2: replaced the fused kernel, which
+    it beats at every size) vs golden, including heavy-tie fills in
+    golden index order and the degenerate fewer-nonzeros-than-k case."""
     import jax.numpy as jnp
-    from clover_tpu.formats import QVec4, pack_nibbles
-    from clover_tpu.kernels.threshold import (
-        threshold4_pallas, threshold4_pallas_eligible)
+    from clover_tpu import golden
+    from clover_tpu.formats import QVec4, pack_nibbles, unpack_nibbles
     from clover_tpu.ops.quantize import quantize_vec, restore_vec
     from clover_tpu.ops.threshold import threshold as thr
 
-    # 262144 covers the extended multi-step grid (rows > old 512 cap)
+    # sizes exercise every _wide_cols branch (1024/512/256/128)
     for n, k in [(2048, 64), (8192, 2048), (4096, 4095), (65536, 17),
-                 (262144, 4096)]:
+                 (262144, 4096), (640, 9), (384, 5)]:
         x = (rng.random(n, dtype=np.float32) * 2 - 1)
         q = quantize_vec(jnp.asarray(x), 4, key=None)
-        assert threshold4_pallas_eligible(q, k)
-        got = np.asarray(restore_vec(threshold4_pallas(q, k)).values)
-        monkeypatch.setenv("CLOVER_PALLAS", "0")
-        want = np.asarray(restore_vec(thr(q, k)).values)
-        monkeypatch.delenv("CLOVER_PALLAS")
+        got = np.asarray(unpack_nibbles(thr(q, k).codes))
+        want = golden.threshold(
+            np.asarray(unpack_nibbles(q.codes)), np.asarray(q.scales),
+            k, q.length, 4)
         np.testing.assert_array_equal(got, want)
 
     # degenerate: fewer nonzero codes than k -> keep them all
@@ -199,14 +198,15 @@ def test_threshold4_kernel_matches_xla(rng, monkeypatch):
     codes0[[5, 100, 2000]] = [3, -7, 1]
     q0 = QVec4(codes=pack_nibbles(jnp.asarray(codes0)),
                scales=jnp.ones((32,), jnp.float32), length=2048)
-    out0 = np.asarray(restore_vec(threshold4_pallas(q0, 64)).values)
+    out0 = np.asarray(restore_vec(thr(q0, 64)).values)
     assert np.count_nonzero(out0) == 3
 
     # tie storm: every code the same magnitude -> fill by lowest index
+    # (forces the rank-based slow path: n_eq > fill)
     codes = np.full(4096, -5, np.int8)
     q2 = QVec4(codes=pack_nibbles(jnp.asarray(codes)),
                scales=jnp.ones((64,), jnp.float32), length=4096)
-    out = np.asarray(restore_vec(threshold4_pallas(q2, 100)).values)
+    out = np.asarray(restore_vec(thr(q2, 100)).values)
     assert np.count_nonzero(out) == 100
     assert np.all(np.nonzero(out)[0] == np.arange(100))
 
