@@ -139,32 +139,47 @@ def bench_restore(log, sizes=VEC_SIZES):
             big = jax.random.uniform(jax.random.PRNGKey(4), (p * n,),
                                      minval=-1.0, maxval=1.0)
             q = ct.quantize(big, bits)
-            arr0 = q.codes if bits in (4, 8) else q.values
 
-            def make(iters):
-                @jax.jit
-                def g(arr):
-                    def body(i, carry):
-                        # the f32 result is the CARRY, so it is a real
-                        # materialized buffer (a sum-consumed restore
-                        # would fuse away the write stream entirely)
-                        arr, vb = carry
-                        if bits in (4, 8):
-                            q2 = type(q)(codes=arr, scales=q.scales,
+            if bits in (4, 8):
+                # Pallas path: a scale perturbation re-derives every
+                # output element and the pallas_call is opaque to XLA,
+                # so consuming one element forces the full write.  The
+                # r1 protocol instead carried the 512 MB result AND
+                # single-element-updated the codes, which cost an extra
+                # codes copy per step and halved the reported rate
+                # (209 -> 485 GB/s measured for the SAME kernel).
+                def make(iters):
+                    @jax.jit
+                    def g(codes, scales):
+                        def body(i, s):
+                            q2 = type(q)(codes=codes,
+                                         scales=scales + s * 1e-30,
                                          length=q.length)
-                        else:
+                            v = ct.restore(q2).values
+                            return s + v[0] * 1e-30
+                        return jax.lax.fori_loop(0, iters, body,
+                                                 jnp.float32(0))
+                    return lambda: float(g(q.codes, q.scales))
+            else:
+                # fp16 path is a plain XLA convert: a one-element
+                # consume would let XLA skip materializing, so the
+                # result must stay the carry (write stream real)
+                def make(iters):
+                    @jax.jit
+                    def g(arr):
+                        def body(i, carry):
+                            arr, vb = carry
                             q2 = type(q)(values=arr, length=q.length)
-                        v = ct.restore(q2).values
-                        one = (jnp.int8(1) if bits in (4, 8)
-                               else jnp.float16(1))
-                        arr = arr.at[0].add(
-                            one + (vb[0] * 1e-30).astype(arr.dtype))
-                        return (arr, v)
-                    _, vb = jax.lax.fori_loop(
-                        0, iters, body,
-                        (arr, jnp.zeros((p * n,), jnp.float32)))
-                    return vb[0]
-                return lambda: float(g(arr0))
+                            v = ct.restore(q2).values
+                            arr = arr.at[0].add(
+                                jnp.float16(1)
+                                + (vb[0] * 1e-30).astype(arr.dtype))
+                            return (arr, v)
+                        _, vb = jax.lax.fori_loop(
+                            0, iters, body,
+                            (arr, jnp.zeros((p * n,), jnp.float32)))
+                        return vb[0]
+                    return lambda: float(g(q.values))
             dt = chain_time(make) / p
             _row(log, f"restore {bits:2d}-bit n={n}",
                  q.nbytes // p + 4 * n, dt)

@@ -13,8 +13,10 @@ planes WHOLE-TILE with bitwise AND + convert (no int32 widening, no lane
 reshapes), multiply by block scales expanded exactly on the MXU
 (`_expand_scales`), and assemble the natural element order with static
 per-block lane slices.  Restore output is 4 B/elem of f32 writes, so the
-kernel is write-bandwidth-bound: the ceiling is the ~740 GB/s measured
-grid stream rate (doc/results/mvm_ablation_r2.md).
+kernel is write-bandwidth-bound: it measures AT the ~490 GB/s mixed
+read+write stream floor of this grid (484/462 GB/s 4/8-bit; a write-only
+floor kernel through the same grid measures 489 — see
+doc/results/quantize_restore_ablation_r2.md §4).
 
 Bit-exactness: the multiplier is ``scales / qmax`` and the product is
 ``code * mult`` — identical operation order to ops/_core.expand_*_scales,
