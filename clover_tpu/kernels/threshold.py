@@ -1,11 +1,13 @@
-"""Fused 8-bit hard-threshold kernel (reference: CloverVector8.h top-K,
-same algorithm family as CloverVector4.h:1913-2060).
+"""Fused hard-threshold kernels (reference: CloverVector4.h:1913-2060,
+ditto CloverVector8.h).
 
 One pallas_call, two sequential grid phases over the codes:
 
-* phase 0 streams each tile once and stashes every element's |value|
-  bit pattern into VMEM scratch (the candidate multiset is the elements
-  themselves — no 7-magnitude compression exists at 8 bits).
+* phase 0 streams each tile once and stashes the candidate multiset
+  into VMEM scratch: for 8-bit every element's |value| bit pattern; for
+  4-bit the compressed per-(64-block, magnitude a in 1..7) value
+  ``a * s_b/7`` and its count (~n/9 entries — a 4-bit block can only
+  take 7 distinct magnitudes).
 * at the start of phase 1 a scalar bisection over the candidate bit
   patterns finds the EXACT k-th largest |value| (TPU sorts cost ~1 ms
   at 10^5 elements; ``lax.top_k`` is sort-based — this kernel never
@@ -14,15 +16,19 @@ One pallas_call, two sequential grid phases over the codes:
 * phase 1 re-streams each tile and keeps strictly-greater elements.
   Ties take a rank-free fast path (``pl.when``) whenever the tie count
   exactly fits the remaining slots — the generic case, since tau is one
-  specific element's |code|*s/127 value; otherwise remaining slots fill
+  specific block's quantized value; otherwise remaining slots fill
   from ties in golden order (|value| desc, index asc) via triangular-
   matmul prefix sums plus a running cross-tile tie counter in SMEM.
 
 Tie values compare at the BIT level of the exact same f32 expression the
-XLA path uses, so kernel and XLA results are identical.  The 4-bit
-analog of this kernel was removed in r2: the rebuilt XLA candidate path
-(ops/threshold.py:_threshold4_xla) beats it at every size.
-Layout: codes as (rows, 128) int8 — one row = 2 blocks; scales (rows, 2).
+XLA path uses, so kernel and XLA results are identical.
+
+Size caps (measured r2, interleaved 512-long chains): the kernels win
+below ~2^18 where the XLA paths pay a fixed multi-dispatch latency
+(4-bit: 13 vs 26 us at 2^16, 24 vs 30 at 2^17, but 57 vs 29 at 2^18);
+past the caps ops/threshold.py's wide-view bisect paths take over.
+Layouts: 8-bit codes as (rows, 128) int8 — one row = 2 blocks; 4-bit
+packed codes as (rows, 128) int8 — one row = 4 blocks; scales lane-major.
 """
 
 from __future__ import annotations
@@ -36,11 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dispatch import pallas_interpret
 
-# Coverage cap (measured r2): the fused kernel beats the dense-bisect
+# Coverage caps (measured r2): the 8-bit kernel beats the dense-bisect
 # XLA path up to 2^20 (its per-tile streams and in-kernel bisect stay
-# VMEM-resident); past that the (rows, 128) int32 scratch and the
-# serialized tie counter lose to XLA's pipelining.
+# VMEM-resident); the 4-bit kernel's (rows, 32) candidate arrays run the
+# VPU quarter-width, so it loses to the wide-view XLA path past 2^17.
 MAX_ROWS8 = 8192
+ROW_BYTES = 128                  # 4-bit packed bytes per row = 4 blocks
+GPR = 4                          # 4-bit blocks (32-lane groups) per row
+MAX_ROWS4 = 512                  # 4-bit cap: n = 2^17
 
 
 def _bisect9(count_gt, k: int, hi0):
@@ -82,12 +91,15 @@ def _expand_groups2(vals2):
     return jax.lax.dot(vals2, E, precision=jax.lax.Precision.HIGHEST)
 
 
-def _kernel8(codes_ref, scales_ref, out_ref, bits_s, sm, *,
+def _kernel8(codes_ref, ms_ref, out_ref, bits_s, sm, *,
              rt: int, k: int):
+    # ms_ref carries scales/127 PRE-DIVIDED outside the kernel so tie
+    # bits match the XLA path's restore expression exactly (in-kernel
+    # division can differ by 1 ULP)
     ph, g = pl.program_id(0), pl.program_id(1)
     c = codes_ref[:].astype(jnp.int32)
     a = jnp.abs(c)
-    m = _expand_groups2(scales_ref[:] * (1.0 / 127.0))   # (RT, 128)
+    m = _expand_groups2(ms_ref[:])                       # (RT, 128)
     v = a.astype(jnp.float32) * m
     bits = jax.lax.bitcast_convert_type(v, jnp.int32)
 
@@ -190,6 +202,214 @@ def threshold8_pallas(x, k: int):
     from ..formats import QVec8
     rows, rt = _geometry8(x.length_pad)
     call = _build8(rows, rt, int(k), pallas_interpret())
-    out = call(x.codes.reshape(rows, 128), x.scales.reshape(rows, 2))
+    out = call(x.codes.reshape(rows, 128),
+               (x.scales / 127.0).reshape(rows, 2))
     return QVec8(codes=out[:rows].reshape(-1), scales=x.scales,
+                 length=x.length)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit kernel (compressed candidate multiset)
+# ---------------------------------------------------------------------------
+
+def _place28(vals28, values: bool):
+    """(RT, 28) [seven (RT,4) per-a panels] -> (RT, 32): panel a-1,
+    group g lands at lane 8*g + (a-1).
+
+    counts (integer inputs < 256): plain bf16 matmul — exact, 6x cheaper
+    than HIGHEST.  values (arbitrary f32): HIGHEST (bit-exact copies)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (28, 32), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (28, 32), 1)
+    P = jnp.where(c == 8 * (r % 4) + r // 4, 1.0, 0.0)
+    if values:
+        return jax.lax.dot(vals28, P, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot(vals28.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+
+def _expand_groups(vals4):
+    """(RT, 4) -> (RT, 128): group g's value broadcast to its 32 lanes
+    (HIGHEST: bit-exact copies of arbitrary f32)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (GPR, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (GPR, 128), 1)
+    E = jnp.where(c // 32 == r, 1.0, 0.0)
+    return jax.lax.dot(vals4, E, precision=jax.lax.Precision.HIGHEST)
+
+
+def _group_sums(x):
+    """(RT, 128) -> (RT, 4) per-32-lane-group sums."""
+    return jnp.concatenate(
+        [jnp.sum(x[:, 32 * g:32 * (g + 1)], axis=1, keepdims=True)
+         for g in range(GPR)], axis=1)
+
+
+def _lane_prefix_excl(x):
+    """(RT, 128) 0/1/2-valued -> exclusive prefix within each 32-lane
+    group (plain bf16: inputs <= 2 exact, sums f32)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    BU = jnp.where((r // 32 == c // 32) & (r < c), 1.0, 0.0)
+    return jax.lax.dot(x.astype(jnp.bfloat16), BU.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+
+def _unpack_i32(p):
+    p32 = p.astype(jnp.int32)
+    lo = jnp.bitwise_and(p32, 15) - 8
+    hi = jax.lax.shift_right_arithmetic(p32, 4)
+    return lo, hi
+
+
+def _kernel4(codes_ref, ms_ref, out_ref, cnts_s, cand_s, sm, *,
+             rt: int, g_total: int, k: int):
+    # ms_ref carries scales/7 PRE-DIVIDED outside the kernel so tie
+    # bits match the XLA path's restore expression exactly (in-kernel
+    # division can differ by 1 ULP)
+    ph, g = pl.program_id(0), pl.program_id(1)
+    p = codes_ref[:]
+    lo, hi = _unpack_i32(p)
+    alo, ahi = jnp.abs(lo), jnp.abs(hi)
+    m7 = ms_ref[:]                                      # (RT, 4)
+
+    @pl.when(ph == 0)
+    def _():
+        panels_c, panels_v = [], []
+        for a in range(1, 8):
+            e = ((alo == a).astype(jnp.float32)
+                 + (ahi == a).astype(jnp.float32))
+            panels_c.append(_group_sums(e))
+            panels_v.append(jnp.float32(a) * m7)
+        cnt32 = _place28(jnp.concatenate(panels_c, axis=1), values=False)
+        cand32 = _place28(jnp.concatenate(panels_v, axis=1), values=True)
+        cnts_s[pl.dslice(g * rt, rt), :] = cnt32
+        cand_s[pl.dslice(g * rt, rt), :] = cand32
+        out_ref[:] = p                                  # dummy block
+
+    @pl.when((ph == 1) & (g == 0))
+    def _():
+        bits = jax.lax.bitcast_convert_type(cand_s[:], jnp.int32)
+        cnts = cnts_s[:].astype(jnp.int32)
+
+        def count_gt(t):
+            return jnp.sum(jnp.where(bits > t, cnts, 0))
+
+        tau = _bisect9(count_gt, k, jnp.max(bits))
+        sm[0, 0] = tau
+        sm[0, 1] = count_gt(tau)                        # n_above
+        sm[0, 2] = 0                                    # running ties
+        sm[0, 3] = jnp.sum(jnp.where(bits == tau, cnts, 0))   # n_eq
+
+    @pl.when(ph == 1)
+    def _():
+        tau = sm[0, 0]
+        me = _expand_groups(m7)                         # (RT, 128)
+        vlo = alo.astype(jnp.float32) * me
+        vhi = ahi.astype(jnp.float32) * me
+        blo = jax.lax.bitcast_convert_type(vlo, jnp.int32)
+        bhi = jax.lax.bitcast_convert_type(vhi, jnp.int32)
+        gt_lo, gt_hi = blo > tau, bhi > tau
+        eq_lo = (blo == tau).astype(jnp.float32)
+        eq_hi = (bhi == tau).astype(jnp.float32)
+        fill = jnp.float32(k) - sm[0, 1].astype(jnp.float32)
+
+        def pack_write(keep_lo, keep_hi):
+            lo_k = jnp.where(keep_lo, lo, 0)
+            hi_k = jnp.where(keep_hi, hi, 0)
+            out_ref[:] = jnp.bitwise_or(
+                jnp.bitwise_and(lo_k + 8, 15),
+                jnp.left_shift(jnp.bitwise_and(hi_k, 15), 4)
+            ).astype(jnp.int8)
+
+        # multiset ties fit the remaining slots exactly AND tau > 0
+        # (the multiset has no zero-valued entries, so at tau == 0 the
+        # element-level tie count can exceed n_eq): keep every tie, no
+        # rank matmuls, no cross-tile serialization
+        fastp = (sm[0, 3] + sm[0, 1] == k) & (tau > 0)
+
+        @pl.when(fastp)
+        def _():
+            pack_write(gt_lo | (eq_lo > 0), gt_hi | (eq_hi > 0))
+
+        @pl.when(jnp.logical_not(fastp))
+        def _():
+            plo = _lane_prefix_excl(eq_lo)
+            phi = _lane_prefix_excl(eq_hi)
+            glo = _group_sums(eq_lo)                    # (RT, 4)
+            ghi = _group_sums(eq_hi)
+            tb = glo + ghi                              # ties per block
+            go = jax.lax.dot(                           # offset of block
+                tb.astype(jnp.bfloat16),
+                jnp.where(jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+                          < jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1),
+                          1.0, 0.0).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            row_tot = jnp.sum(tb, axis=1, keepdims=True)  # (RT, 1)
+            ro = _row_prefix_excl_col(row_tot, rt)        # (RT, 1)
+            # fold the small additive offsets BEFORE expansion: two
+            # HIGHEST expansions instead of three (each tiny matmul
+            # costs ~1 us fixed on Mosaic)
+            base4 = go + jnp.broadcast_to(ro, (rt, GPR)) + sm[0, 2].astype(
+                jnp.float32)
+            rank_lo = _expand_groups(base4) + plo
+            rank_hi = _expand_groups(base4 + glo) + phi
+            sm[0, 2] = sm[0, 2] + jnp.sum(tb).astype(jnp.int32)
+            pack_write(gt_lo | ((eq_lo > 0) & (rank_lo < fill)),
+                       gt_hi | ((eq_hi > 0) & (rank_hi < fill)))
+
+
+@lru_cache(maxsize=64)
+def _build4(rows: int, rt: int, k: int, interpret: bool):
+    g_total = rows // rt
+    return pl.pallas_call(
+        partial(_kernel4, rt=rt, g_total=g_total, k=k),
+        grid=(2, g_total),
+        in_specs=[
+            pl.BlockSpec((rt, ROW_BYTES),
+                         lambda ph, g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, GPR),
+                         lambda ph, g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        # phase 0 parks its writes in a dummy trailing block so no block
+        # is ever revisited; phase 1 writes the real outputs
+        out_specs=pl.BlockSpec(
+            (rt, ROW_BYTES),
+            lambda ph, g: (g_total + ph * (g - g_total), 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((g_total + 1) * rt, ROW_BYTES),
+                                       jnp.int8),
+        scratch_shapes=[pltpu.VMEM((rows, 32), jnp.float32),
+                        pltpu.VMEM((rows, 32), jnp.float32),
+                        pltpu.SMEM((1, 4), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _geometry4(npad: int):
+    if npad % (2 * ROW_BYTES):
+        return None
+    rows = npad // (2 * ROW_BYTES)
+    if rows > MAX_ROWS4 or rows < 8:
+        return None
+    rt = next((r for r in (512, 256, 128, 64, 32, 16, 8)
+               if rows % r == 0), None)
+    if rt is None:
+        return None
+    return rows, rt
+
+
+def threshold4_pallas_eligible(x, k: int) -> bool:
+    from ..formats import QVec4
+    return isinstance(x, QVec4) and _geometry4(x.length_pad) is not None
+
+
+def threshold4_pallas(x, k: int):
+    from ..formats import QVec4
+    rows, rt = _geometry4(x.length_pad)
+    call = _build4(rows, rt, int(k), pallas_interpret())
+    out = call(x.codes.reshape(rows, ROW_BYTES),
+               (x.scales / 7.0).reshape(rows, GPR))
+    return QVec4(codes=out[:rows].reshape(-1), scales=x.scales,
                  length=x.length)

@@ -265,9 +265,15 @@ def threshold(x, k: int):
     if isinstance(x, QVec4):
         # candidate compression — value a*s_b/7 with multiplicity
         # counts[b, a], a in 1..7 (~n/9 candidates), then the exact
-        # bisection.  No top_k / sort anywhere.  The r1 fused Pallas
-        # kernel was removed in r2: this path beats it at EVERY size
-        # (3.0 vs 13.8 us at n=2^16, 42 vs 109 us at 2^19 on v5e).
+        # bisection.  No top_k / sort anywhere.  Below 2^18 the fused
+        # Pallas kernel wins (13 vs 26 us at 2^16, interleaved A/B on
+        # v5e); above, its quarter-width candidate arrays lose to this
+        # wide-view XLA path (29 vs 57 us at 2^18).
+        from ..kernels import pallas_enabled
+        from ..kernels.threshold import (
+            threshold4_pallas, threshold4_pallas_eligible)
+        if pallas_enabled() and threshold4_pallas_eligible(x, k):
+            return threshold4_pallas(x, k)
         return _threshold4_xla(x, k)
 
     if isinstance(x, QVec8):

@@ -172,15 +172,52 @@ def test_dot_kernel_vs_golden(rng, bits, n):
     assert abs(got - ref) <= 0.02 * max(1.0, abs(ref) / 10), (got, ref)
 
 
+def test_threshold4_kernel_matches_xla(rng):
+    """Fused 4-bit threshold kernel (interpret) is bit-identical to the
+    wide-view XLA bisect path, including heavy-tie fills (slow path) and
+    the rank-free exact-fit fast path."""
+    import jax.numpy as jnp
+    from clover_tpu.formats import QVec4, pack_nibbles
+    from clover_tpu.kernels.threshold import (
+        threshold4_pallas, threshold4_pallas_eligible)
+    from clover_tpu.ops.quantize import quantize_vec, restore_vec
+    from clover_tpu.ops.threshold import _threshold4_xla
+
+    for n, k in [(2048, 64), (8192, 2048), (4096, 4095), (65536, 17),
+                 (131072, 100)]:
+        x = (rng.random(n, dtype=np.float32) * 2 - 1)
+        q = quantize_vec(jnp.asarray(x), 4, key=None)
+        assert threshold4_pallas_eligible(q, k)
+        got = np.asarray(restore_vec(threshold4_pallas(q, k)).values)
+        want = np.asarray(restore_vec(_threshold4_xla(q, k)).values)
+        np.testing.assert_array_equal(got, want)
+
+    # tie storm (forces the in-kernel slow path): fill by lowest index
+    codes = np.full(4096, -5, np.int8)
+    q2 = QVec4(codes=pack_nibbles(jnp.asarray(codes)),
+               scales=jnp.ones((64,), jnp.float32), length=4096)
+    out = np.asarray(restore_vec(threshold4_pallas(q2, 100)).values)
+    assert np.count_nonzero(out) == 100
+    assert np.all(np.nonzero(out)[0] == np.arange(100))
+
+    # degenerate: fewer nonzero codes than k -> keep them all
+    codes0 = np.zeros(2048, np.int8)
+    codes0[[5, 100, 2000]] = [3, -7, 1]
+    q0 = QVec4(codes=pack_nibbles(jnp.asarray(codes0)),
+               scales=jnp.ones((32,), jnp.float32), length=2048)
+    out0 = np.asarray(restore_vec(threshold4_pallas(q0, 64)).values)
+    assert np.count_nonzero(out0) == 3
+
+
 def test_threshold4_xla_edge_cases(rng):
-    """4-bit wide-view bisect path (r2: replaced the fused kernel, which
-    it beats at every size) vs golden, including heavy-tie fills in
-    golden index order and the degenerate fewer-nonzeros-than-k case."""
+    """4-bit wide-view bisect path vs golden, including heavy-tie fills
+    in golden index order and the degenerate fewer-nonzeros-than-k
+    case."""
     import jax.numpy as jnp
     from clover_tpu import golden
     from clover_tpu.formats import QVec4, pack_nibbles, unpack_nibbles
     from clover_tpu.ops.quantize import quantize_vec, restore_vec
-    from clover_tpu.ops.threshold import threshold as thr
+    from clover_tpu.ops.threshold import _threshold4_xla as thr
 
     # sizes exercise every _wide_cols branch (1024/512/256/128)
     for n, k in [(2048, 64), (8192, 2048), (4096, 4095), (65536, 17),
