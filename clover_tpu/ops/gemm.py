@@ -29,12 +29,32 @@ def mvm_batched(A, xs, key=None):
     batch dimension (stack per-vector containers with
     ``jax.tree.map(lambda *a: jnp.stack(a), *vecs)``).  Returns a
     container with the same leading batch dimension.
+
+    On TPU the whole batch rides ONE Pallas kernel launch and ONE HBM
+    stream of the packed matrix (kernels/mvm_batched.py) — the
+    single-vector MVM is DMA-bound, so extra vectors are nearly free
+    until the batched matmuls outgrow the stream time.  Elsewhere (or
+    for ineligible shapes) it falls back to a vmapped per-vector path.
     """
+    from ..kernels import pallas_enabled
+    from ..kernels.mvm import _mode, mvm_pallas, mvm_pallas_eligible
+    from ..kernels.mvm_batched import (
+        mvm_batched_pallas, mvm_batched_pallas_eligible)
+    leaf = jax.tree_util.tree_leaves(xs)[0]
+    mode = _mode(A, xs)          # container types carry the mode
+    if pallas_enabled():
+        if mvm_batched_pallas_eligible(A, leaf.shape, mode):
+            return mvm_batched_pallas(A, xs, key=key)
+        if leaf.shape[0] == 1:
+            x0 = jax.tree.map(lambda a: a[0], xs)
+            if mvm_pallas_eligible(A, x0):
+                y = mvm_pallas(A, x0, key=key)
+                return jax.tree.map(lambda a: a[None], y)
+
     out_bits = _out_bits(A, xs)
     keys = None
     if key is not None:
-        batch = jax.tree_util.tree_leaves(xs)[0].shape[0]
-        keys = jax.random.split(key, batch)
+        keys = jax.random.split(key, leaf.shape[0])
 
     def one(x, k):
         y32 = mvm_f32(A, x)

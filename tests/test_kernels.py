@@ -153,6 +153,60 @@ def test_mvm_axpy_op_fallback(rng, monkeypatch):
                                   np.asarray(want.scales))
 
 
+@pytest.mark.parametrize("bits_a,bits_x", CONFIGS)
+@pytest.mark.parametrize("b", [2, 4, 8])
+def test_mvm_batched_kernel(rng, bits_a, bits_x, b):
+    """One matrix stream serves B vectors: per-vector results match B
+    separate mvm_pallas calls within 1 output LSB (integer accumulation
+    identical; the f32 scale-combine may fuse differently — the same
+    allowance the single kernel gets vs the XLA path)."""
+    from clover_tpu.kernels.mvm import mvm_pallas
+    from clover_tpu.kernels.mvm_batched import (
+        mvm_batched_pallas, mvm_batched_pallas_eligible)
+    m, n = 256, 512
+    A = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+    qA = ct.quantize(jnp.asarray(A), bits_a, key=None)
+    vecs = [ct.quantize(jnp.asarray(rng.random(n, dtype=np.float32) * 2
+                                    - 1), bits_x, key=None)
+            for _ in range(b)]
+    xs = jax.tree.map(lambda *a: jnp.stack(a), *vecs)
+    mode = f"{bits_a}x{bits_x}"
+    assert mvm_batched_pallas_eligible(qA, (b,), mode)
+    ys = mvm_batched_pallas(qA, xs, key=None)
+    for j in range(b):
+        want = mvm_pallas(qA, vecs[j], key=None)
+        np.testing.assert_allclose(np.asarray(ys.scales[j]),
+                                   np.asarray(want.scales), rtol=3e-7)
+        got_v = np.asarray(ct.restore(
+            jax.tree.map(lambda a: a[j], ys)).values)
+        want_v = np.asarray(ct.restore(want).values)
+        lsb = np.repeat(np.asarray(want.scales), BLOCK) / (
+            7.0 if want.bits == 4 else 127.0)
+        assert np.all(np.abs(got_v - want_v) <= lsb * (1 + 1e-3))
+
+
+def test_mvm_batched_op_dispatch(rng, monkeypatch):
+    """ops.gemm.mvm_batched: kernel path vs the vmapped fallback agree
+    within the same 1-LSB allowance; B=1 stays on the fallback."""
+    from clover_tpu.ops.gemm import mvm_batched
+    m, n, b = 192, 256, 4
+    A = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+    qA = ct.quantize(jnp.asarray(A), 8, key=None)
+    vecs = [ct.quantize(jnp.asarray(rng.random(n, dtype=np.float32) * 2
+                                    - 1), 8, key=None) for _ in range(b)]
+    xs = jax.tree.map(lambda *a: jnp.stack(a), *vecs)
+    ys = mvm_batched(qA, xs)
+    monkeypatch.setenv("CLOVER_PALLAS", "0")
+    ys_ref = mvm_batched(qA, xs)
+    monkeypatch.delenv("CLOVER_PALLAS")
+    for j in range(b):
+        lsb = np.asarray(ys_ref.scales[j]).repeat(BLOCK) / 127.0
+        gv = np.asarray(ct.restore(jax.tree.map(lambda a: a[j], ys)).values)
+        wv = np.asarray(ct.restore(
+            jax.tree.map(lambda a: a[j], ys_ref)).values)
+        assert np.all(np.abs(gv - wv) <= 2 * lsb * (1 + 1e-3))
+
+
 @pytest.mark.parametrize("bits", [4, 8])
 @pytest.mark.parametrize("n", [512, 1024, 4096])
 def test_dot_kernel_vs_golden(rng, bits, n):
