@@ -322,6 +322,42 @@ def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
             _row(log, f"threshold {bits:2d}-bit n={n}", 2 * q.nbytes, dt)
 
 
+def bench_mvm_batched(log, sizes=MVM_SIZES[-2:], batches=(1, 4, 16)):
+    """Serving throughput: B requests ride one matrix stream
+    (kernels/mvm_batched.py).  The reference has no batched MVM — this
+    is the TPU-native extension the continuous-batching server uses."""
+    log("\n== batched MVM (one matrix stream per batch) — mvm/s")
+    rng = np.random.default_rng(0)
+    from ..ops.gemm import mvm_batched
+    for n in sizes:
+        A = jnp.asarray(rng.random((n, n), dtype=np.float32) * 2 - 1)
+        x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+        for (ba, bx) in ((4, 4), (8, 8)):
+            qA = ct.quantize(A, ba)
+            qx = ct.quantize(x, bx)
+            base = None
+            for b in batches:
+                xs = jax.tree.map(lambda *a: jnp.stack(a), *([qx] * b))
+
+                def make(iters):
+                    @jax.jit
+                    def g(qA, xs):
+                        def body(i, s):
+                            xs2 = type(xs)(codes=xs.codes,
+                                           scales=xs.scales + s * 1e-30,
+                                           length=xs.length)
+                            ys = mvm_batched(qA, xs2)
+                            return jnp.sum(ys.scales) * 1e-30
+                        return jax.lax.fori_loop(0, iters, body,
+                                                 jnp.float32(0))
+                    return lambda: float(g(qA, xs))
+                dt = chain_time(make)
+                base = base or dt
+                log(f"mvm_batched {ba}x{bx} n={n} B={b:<3d}"
+                    f"   {dt * 1e3:10.4f} ms/batch {b / dt:10.0f} mvm/s"
+                    f"  {b * base / dt:5.1f}x vs B=1")
+
+
 def bench_transpose(log, sizes=MVM_SIZES):
     """Matrix transpose sweep (reference: performance.txt:508-560 — the
     4-bit nibble-shuffle transpose runs ~1x fp32 there; here both are
@@ -462,5 +498,6 @@ def run_perf(log=print, quick: bool = False):
     bench_axpy(log, vec)
     bench_threshold(log, vec[:2])
     bench_mvm(log, mvm)
+    bench_mvm_batched(log, mvm[:1] if quick else MVM_SIZES[-2:])
     bench_transpose(log, mvm)
     bench_iht(log, iht)

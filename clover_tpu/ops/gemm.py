@@ -22,6 +22,17 @@ from . import _core
 from .mvm import _out_bits, _requant_output, mvm_f32
 
 
+def _single_device(arr) -> bool:
+    """True when ``arr`` is concrete on one device (or a tracer, whose
+    caller controls placement).  A mesh-sharded matrix must stay on the
+    GSPMD-partitioned fallback: a pallas_call has no SPMD partitioning
+    rule, so XLA would gather the whole matrix onto one chip."""
+    try:
+        return len(arr.sharding.device_set) == 1
+    except Exception:
+        return True
+
+
 def mvm_batched(A, xs, key=None):
     """Fused MVM over a batch of quantized vectors.
 
@@ -42,7 +53,7 @@ def mvm_batched(A, xs, key=None):
         mvm_batched_pallas, mvm_batched_pallas_eligible)
     leaf = jax.tree_util.tree_leaves(xs)[0]
     mode = _mode(A, xs)          # container types carry the mode
-    if pallas_enabled():
+    if pallas_enabled() and _single_device(A.codes):
         if mvm_batched_pallas_eligible(A, leaf.shape, mode):
             return mvm_batched_pallas(A, xs, key=key)
         if leaf.shape[0] == 1:

@@ -1,11 +1,24 @@
 """Continuous-batching MVM server: concurrent requests match individual
 fused MVMs."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 import clover_tpu as ct
+from clover_tpu.formats import BLOCK
 from clover_tpu.serving import MVMServer
+
+
+def _assert_1lsb(got, ref):
+    """Batched and per-vector paths agree within 1 output LSB (the f32
+    scale-combine may fuse differently across programs; the integer
+    accumulation is identical — kernels/mvm_batched.py numerics)."""
+    gv = np.asarray(ct.restore(got).values)
+    rv = np.asarray(ct.restore(ref).values)
+    lsb = np.asarray(ref.scales).repeat(BLOCK) / (
+        7.0 if ref.bits == 4 else 127.0)
+    assert np.all(np.abs(gv - rv) <= lsb * (1 + 1e-3))
 
 
 def test_server_matches_individual_mvm(rng):
@@ -23,11 +36,35 @@ def test_server_matches_individual_mvm(rng):
         server.close()
 
     for v, got in zip(vecs, results):
-        ref = ct.mvm(qA, v)
-        np.testing.assert_array_equal(np.asarray(got.codes),
-                                      np.asarray(ref.codes))
-        np.testing.assert_array_equal(np.asarray(got.scales),
-                                      np.asarray(ref.scales))
+        _assert_1lsb(got, ct.mvm(qA, v))
+
+
+def test_server_sharded_matrix(rng):
+    """A mesh-sharded resident matrix serves correctly: the batched MVM
+    stays on the GSPMD fallback (a pallas_call has no SPMD partitioning
+    rule), following the container's sharding."""
+    from clover_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_mesh(8)                                   # (2, 4)
+    m, n = 256, 512
+    A = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+    qA = ct.quantize(jnp.asarray(A), 4)
+    qA_sharded = type(qA)(
+        codes=jax.device_put(
+            qA.codes, NamedSharding(mesh, P("row", None))),
+        scales=jax.device_put(
+            qA.scales, NamedSharding(mesh, P("row", None))),
+        rows=qA.rows, cols=qA.cols)
+    vecs = [ct.quantize(jnp.asarray(
+        rng.random(n, dtype=np.float32) * 2 - 1), 4) for _ in range(6)]
+    server = MVMServer(qA_sharded, max_batch=4, max_wait_s=0.01)
+    try:
+        results = [f.result(timeout=120)
+                   for f in [server.submit(v) for v in vecs]]
+    finally:
+        server.close()
+    for v, got in zip(vecs, results):
+        _assert_1lsb(got, ct.mvm(qA, v))
 
 
 def test_server_error_propagates(rng):
