@@ -168,6 +168,29 @@ def main():
     iht_ips = bench_iht_iters_per_sec(qphi, qphit, qy, n_i // 4, 1e-4,
                                       jax.random.PRNGKey(0))
 
+    # serving throughput: B=16 requests on one matrix stream vs B=1
+    # (kernels/mvm_batched.py)
+    from clover_tpu.ops.gemm import mvm_batched
+
+    def batch_time(b):
+        xs = jax.tree.map(lambda *a: jnp.stack(a), *([qx4] * b))
+
+        def make(iters):
+            @jax.jit
+            def g(qA, xs):
+                def body(i, s):
+                    xs2 = type(xs)(codes=xs.codes,
+                                   scales=xs.scales + s * 1e-30,
+                                   length=xs.length)
+                    return jnp.sum(mvm_batched(qA, xs2).scales) * 1e-30
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            return g
+        g1, g2 = make(K1), make(K2)
+        float(g1(qA4, xs)); float(g2(qA4, xs))
+        return (_median_time(g2, qA4, xs)
+                - _median_time(g1, qA4, xs)) / (K2 - K1)
+    tb1, tb16 = batch_time(1), batch_time(16)
+
     result = {
         "metric": "4bit_mvm_pct_hbm_roofline_n16k",
         "value": round(pct, 2),
@@ -183,6 +206,9 @@ def main():
             "speedup_vs_fp32": round(speedup, 2),
             "ref_speedup_vs_fp32": REF_SPEEDUP_VS_FP32,
             "iht_iters_per_sec_4bit_4096x8192": round(iht_ips, 1),
+            "batched_mvm_throughput_x_at_b16": round(
+                16 * max(tb1, 1e-9) / max(tb16, 1e-9), 2),
+            "batched_mvm_per_s_b16": round(16 / max(tb16, 1e-9), 1),
             "backend": jax.default_backend(),
         },
     }
