@@ -140,14 +140,19 @@ def bench_restore(log, sizes=VEC_SIZES):
                                      minval=-1.0, maxval=1.0)
             q = ct.quantize(big, bits)
 
-            if bits in (4, 8):
+            from ..kernels import pallas_enabled
+            from ..kernels.restore import restore_vec_pallas_eligible
+            if bits in (4, 8) and pallas_enabled() \
+                    and restore_vec_pallas_eligible(q):
                 # Pallas path: a scale perturbation re-derives every
                 # output element and the pallas_call is opaque to XLA,
                 # so consuming one element forces the full write.  The
                 # r1 protocol instead carried the 512 MB result AND
                 # single-element-updated the codes, which cost an extra
                 # codes copy per step and halved the reported rate
-                # (209 -> 485 GB/s measured for the SAME kernel).
+                # (209 -> 485 GB/s measured for the SAME kernel).  On
+                # the XLA fallback this protocol would let the write be
+                # dead-coded, so non-kernel runs keep the carry form.
                 def make(iters):
                     @jax.jit
                     def g(codes, scales):
@@ -161,25 +166,31 @@ def bench_restore(log, sizes=VEC_SIZES):
                                                  jnp.float32(0))
                     return lambda: float(g(q.codes, q.scales))
             else:
-                # fp16 path is a plain XLA convert: a one-element
-                # consume would let XLA skip materializing, so the
-                # result must stay the carry (write stream real)
+                # XLA paths (fp16 convert / kernel-ineligible 4/8-bit):
+                # a one-element consume would let XLA skip materializing
+                # the write, so the result must stay the carry
                 def make(iters):
                     @jax.jit
                     def g(arr):
                         def body(i, carry):
                             arr, vb = carry
-                            q2 = type(q)(values=arr, length=q.length)
+                            if bits == 16:
+                                q2 = type(q)(values=arr, length=q.length)
+                                one = jnp.float16(1)
+                            else:
+                                q2 = type(q)(codes=arr, scales=q.scales,
+                                             length=q.length)
+                                one = jnp.int8(1)
                             v = ct.restore(q2).values
                             arr = arr.at[0].add(
-                                jnp.float16(1)
-                                + (vb[0] * 1e-30).astype(arr.dtype))
+                                one + (vb[0] * 1e-30).astype(arr.dtype))
                             return (arr, v)
                         _, vb = jax.lax.fori_loop(
                             0, iters, body,
                             (arr, jnp.zeros((p * n,), jnp.float32)))
                         return vb[0]
-                    return lambda: float(g(q.values))
+                    return lambda: float(g(
+                        q.values if bits == 16 else q.codes))
             dt = chain_time(make) / p
             _row(log, f"restore {bits:2d}-bit n={n}",
                  q.nbytes // p + 4 * n, dt)

@@ -11,8 +11,9 @@ One pallas_call, two sequential grid phases over the codes:
 * at the start of phase 1 a scalar bisection over the candidate bit
   patterns finds the EXACT k-th largest |value| (TPU sorts cost ~1 ms
   at 10^5 elements; ``lax.top_k`` is sort-based — this kernel never
-  sorts).  The range is seeded with the multiset max, so TEN nine-way
-  levels cover the positive-float range (9^10 > 2^31).
+  sorts).  The range is seeded with the multiset max; 12 nine-way
+  levels (10 + two unit-step levels for the per-level remainder slack)
+  resolve it exactly.
 * phase 1 re-streams each tile and keeps strictly-greater elements.
   Ties take a rank-free fast path (``pl.when``) whenever the tie count
   exactly fits the remaining slots — the generic case, since tau is one
@@ -56,7 +57,12 @@ def _bisect9(count_gt, k: int, hi0):
     """k-th-largest bit pattern via 9-way bisection: eight INDEPENDENT
     pivot counts per level (Mosaic pipelines them — each cross-lane
     reduce is ~us latency, so sequential depth, not throughput, is the
-    cost), 10 levels cover the max-seeded positive range (9^10 > 2^31)."""
+    cost).  12 levels over the max-seeded positive range: each level
+    leaves width floor(w/9) plus up to 8 of remainder slack, so
+    w_L <= 2^31/9^L + 9 — 10 levels can leave a ~10-wide bracket and
+    two unit-step levels resolve it exactly (see ops/threshold.py
+    _tau_bisect; a 10-level version kept k-1 elements on adjacent bit
+    patterns)."""
     def body(_, lohi):
         lo_, hi_ = lohi
         step = jnp.maximum((hi_ - lo_) // 9, 1)
@@ -69,7 +75,7 @@ def _bisect9(count_gt, k: int, hi0):
             hi2 = jnp.minimum(hi2, jnp.where(ge, hi_, m))
         return lo2, hi2
 
-    _, tau = jax.lax.fori_loop(0, 10, body, (jnp.int32(-1), hi0))
+    _, tau = jax.lax.fori_loop(0, 12, body, (jnp.int32(-1), hi0))
     return tau
 
 

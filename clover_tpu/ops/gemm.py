@@ -4,8 +4,10 @@ call, an AVX2-era design); on TPU, serving and solver batching want many
 RHS at once so the MXU runs dense.
 
 ``mvm_batched``: y_i = requantize(A @ x_i) for a batch of quantized
-vectors, vmapped over the fused XLA path (each column's output blocks are
-requantized independently, identical semantics to per-vector mvm).
+vectors — a fused batched Pallas kernel on TPU (one matrix stream per
+batch, kernels/mvm_batched.py), a vmapped per-vector path elsewhere
+(each column's output blocks are requantized independently, identical
+semantics to per-vector mvm within 1 output LSB).
 
 ``gemm_f32``: C = restore(A) @ B for f32 B — blocked MXU matmuls with the
 dequantization folded into the per-block scale combine (no restored copy
@@ -23,17 +25,19 @@ from .mvm import _out_bits, _requant_output, mvm_f32
 
 
 def _single_device(arr) -> bool:
-    """True when ``arr`` is concrete on one device (or a tracer, whose
-    caller controls placement).  A mesh-sharded matrix must stay on the
-    GSPMD-partitioned fallback: a pallas_call has no SPMD partitioning
-    rule, so XLA would gather the whole matrix onto one chip."""
+    """True when ``arr`` is concrete on one device.  A mesh-sharded
+    matrix must stay on the GSPMD-partitioned fallback: a pallas_call
+    has no SPMD partitioning rule, so XLA would gather the whole matrix
+    onto one chip.  Tracers return True (sharding is invisible at trace
+    time) — a jit caller with a SHARDED matrix must pass
+    ``use_kernel=False`` explicitly."""
     try:
         return len(arr.sharding.device_set) == 1
     except Exception:
         return True
 
 
-def mvm_batched(A, xs, key=None):
+def mvm_batched(A, xs, key=None, use_kernel: bool | None = None):
     """Fused MVM over a batch of quantized vectors.
 
     ``xs`` is a quantized vector container whose arrays carry a leading
@@ -46,6 +50,14 @@ def mvm_batched(A, xs, key=None):
     single-vector MVM is DMA-bound, so extra vectors are nearly free
     until the batched matmuls outgrow the stream time.  Elsewhere (or
     for ineligible shapes) it falls back to a vmapped per-vector path.
+
+    ``use_kernel``: None (default) auto-selects — the kernel when the
+    matrix is concrete on one device, the fallback when it is concrete
+    and mesh-sharded.  Under ``jit`` the matrix is a tracer and its
+    sharding is invisible, so auto assumes single-device; a jit caller
+    with a SHARDED matrix must pass ``use_kernel=False`` (the GSPMD
+    fallback partitions correctly; the kernel would gather the matrix
+    onto one chip).  True forces the kernel (subject to eligibility).
     """
     from ..kernels import pallas_enabled
     from ..kernels.mvm import _mode, mvm_pallas, mvm_pallas_eligible
@@ -53,7 +65,9 @@ def mvm_batched(A, xs, key=None):
         mvm_batched_pallas, mvm_batched_pallas_eligible)
     leaf = jax.tree_util.tree_leaves(xs)[0]
     mode = _mode(A, xs)          # container types carry the mode
-    if pallas_enabled() and _single_device(A.codes):
+    if use_kernel is None:
+        use_kernel = _single_device(A.codes)
+    if pallas_enabled() and use_kernel:
         if mvm_batched_pallas_eligible(A, leaf.shape, mode):
             return mvm_batched_pallas(A, xs, key=key)
         if leaf.shape[0] == 1:

@@ -64,12 +64,17 @@ def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
     once (broadcast compare, independent reduces): the count passes are
     throughput-cheap but their cross-lane reduces are ~us-latency each,
     so sequential DEPTH is what matters.  The range is seeded with the
-    multiset max, so TEN nine-way levels cover the remaining positive-
-    float range (9^10 > 2^31).  If the multiset has fewer than k entries
-    the result degenerates to tau_bits = 0 / keep-everything, which is
-    correct for thresholding (only zero codes are added to the kept
-    set).  cand/counts may be any (equal) shape; they are reduced over
-    all axes."""
+    multiset max; TWELVE levels are needed, not log9(2^31) = 10: each
+    level leaves width floor(w/9) + (up to 8 of remainder slack between
+    the last pivot and hi), so w_L <= 2^31/9^L + 9 — after 10 levels the
+    bracket can still be ~10 wide, and two more unit-step levels (step
+    clamps to 1, pivots cover every integer) resolve it exactly.  A
+    10-level version kept k-1 elements on adjacent bit patterns
+    (tests/test_ops.py::test_threshold_adjacent_bit_ties).  If the
+    multiset has fewer than k entries the result degenerates to
+    tau_bits = 0 / keep-everything, which is correct for thresholding
+    (only zero codes are added to the kept set).  cand/counts may be
+    any (equal) shape; they are reduced over all axes."""
     bits = jax.lax.bitcast_convert_type(cand, jnp.int32)
     counts = counts.astype(jnp.int32)
     # materialize BEFORE the loop: without the barrier XLA fuses the
@@ -96,7 +101,7 @@ def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
 
     lo0 = jnp.int32(-1)
     hi0 = jnp.max(bits)          # k >= 1 => k-th largest <= multiset max
-    _, tau = jax.lax.fori_loop(0, 10, body, (lo0, hi0))
+    _, tau = jax.lax.fori_loop(0, 12, body, (lo0, hi0))
     n_above = jnp.sum(jnp.where(bits > tau, counts, 0))
     n_eq = jnp.sum(jnp.where(bits == tau, counts, 0))
     return tau, n_above, n_eq
@@ -130,6 +135,20 @@ def _prefix_excl(v: jax.Array) -> jax.Array:
     intra = _row_prefix_excl(v2)
     off = _prefix_excl(jnp.sum(v2, axis=1))
     return (intra + off[:, None]).reshape(-1)[:m]
+
+
+def _rank_tie_mask(gt, eq, fill):
+    """gt-or-first-ties mask in golden order (|value| desc, index asc):
+    tie ranks come from a per-64-block exclusive prefix (one triangular
+    matmul) plus hierarchical cross-block offsets — no full-length
+    cumsum (XLA's lowering measured ~140 us at n=2^20).  Shared by the
+    4-bit wide-view and 8/16/32 dense slow paths."""
+    eqf = eq.astype(jnp.float32).reshape(-1, BLOCK)
+    intra = _row_prefix_excl(eqf)                      # (nb, 64)
+    blk_off = _prefix_excl(jnp.sum(eqf, axis=1))       # (nb,)
+    rank = (blk_off[:, None] + intra).reshape(eq.shape)
+    return jnp.logical_or(
+        gt, jnp.logical_and(eq, rank < fill.astype(jnp.float32)))
 
 
 def _wide_cols(npad: int) -> int:
@@ -184,16 +203,7 @@ def _threshold4_xla(x, k: int):
         return jnp.logical_or(gt, eq)
 
     def slow(_):
-        # golden tie order: |value| desc, index asc — per-64-block
-        # exclusive prefix (one triangular matmul) + hierarchical
-        # cross-block offsets (no full-length cumsum: XLA's lowering
-        # measured ~140 us at n=2^20)
-        eqf = eq.astype(jnp.float32).reshape(-1, BLOCK)
-        intra = _row_prefix_excl(eqf)                  # (nb, 64)
-        blk_off = _prefix_excl(jnp.sum(eqf, axis=1))   # (nb,)
-        rank = (blk_off[:, None] + intra).reshape(rows, w)
-        return jnp.logical_or(
-            gt, jnp.logical_and(eq, rank < fill.astype(jnp.float32)))
+        return _rank_tie_mask(gt, eq, fill)
 
     # n_eq counts MULTISET ties; it equals the element-level tie count
     # whenever tau > 0 (zero codes are not in the multiset).  tau == 0
@@ -238,12 +248,7 @@ def _dense_keep_mask(av: jax.Array, k: int) -> jax.Array:
         return jnp.logical_or(gt, eq)
 
     def slow(_):
-        eqf = eq.astype(jnp.float32).reshape(-1, BLOCK)
-        intra = _row_prefix_excl(eqf)
-        blk_off = _prefix_excl(jnp.sum(eqf, axis=1))
-        rank = (blk_off[:, None] + intra).reshape(ev.shape)
-        return jnp.logical_or(
-            gt, jnp.logical_and(eq, rank < fill.astype(jnp.float32)))
+        return _rank_tie_mask(gt, eq, fill)
 
     return jax.lax.cond(n_eq == fill, fast, slow, None).reshape(-1)
 

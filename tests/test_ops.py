@@ -126,6 +126,59 @@ def test_threshold_keeps_largest(rng):
     assert got[100] != 0 and got[10] != 0 and got[200] == 0
 
 
+def test_threshold_adjacent_bit_ties(rng):
+    """Regression: values whose f32 bit patterns are ADJACENT integers
+    must still yield exactly k nonzeros.  A 10-level bisection (ignoring
+    the per-level remainder slack) left a ~10-wide final bracket whose
+    tau was not an element, dropping ties and keeping k-1."""
+    from clover_tpu.formats import QVec32
+    v = np.zeros(256, np.float32)
+    v[3] = np.int32(774840985).view(np.float32)
+    v[77] = np.int32(774840984).view(np.float32)
+    out = np.asarray(threshold(QVec32(values=jnp.asarray(v),
+                                      length=256), 2).values)
+    assert np.count_nonzero(out) == 2
+
+    loc = np.random.default_rng(7)
+    for _ in range(25):
+        base = loc.integers(1, 2 ** 30, dtype=np.int32)
+        v = np.zeros(512, np.float32)
+        idx = loc.choice(512, 5, replace=False)
+        for j, d in zip(idx, [0, 1, 2, -1, 7]):
+            v[j] = np.int32(base + d).view(np.float32)
+        k = int(loc.integers(1, 6))
+        out = np.asarray(threshold(QVec32(values=jnp.asarray(v),
+                                          length=512), k).values)
+        assert np.count_nonzero(out) == k
+
+
+def test_bisect_helpers_adversarial():
+    """Both bisectors (ops._tau_bisect and the in-kernel _bisect9) find
+    the exact k-th largest on adversarial adjacent-integer multisets."""
+    from clover_tpu.ops.threshold import _tau_bisect
+    from clover_tpu.kernels.threshold import _bisect9
+    loc = np.random.default_rng(3)
+    for _ in range(25):
+        base = int(loc.integers(1, 2 ** 30))
+        vals = np.array([base, base + 1, base + 2, base - 1, base + 9],
+                        np.int32)
+        cnts = loc.integers(1, 4, size=5).astype(np.int32)
+        k = int(loc.integers(1, int(cnts.sum()) + 1))
+        bits = jnp.asarray(vals)
+        fvals = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        tau, n_above, n_eq = _tau_bisect(fvals, jnp.asarray(cnts), k)
+        tau = int(tau)
+        srt = np.repeat(vals, cnts)[np.argsort(-np.repeat(vals, cnts))]
+        want = int(srt[k - 1])
+        assert tau == want, (tau, want, k)
+        assert int(n_above) < k <= int(n_above) + int(n_eq)
+
+        def count_gt(t):
+            return jnp.sum(jnp.where(bits > t, jnp.asarray(cnts), 0))
+        tau2 = int(_bisect9(count_gt, k, jnp.max(bits)))
+        assert tau2 == want, (tau2, want, k)
+
+
 # ---------------------------------------------------------------------------
 # transpose
 # ---------------------------------------------------------------------------
