@@ -154,7 +154,7 @@ def test_mvm_axpy_op_fallback(rng, monkeypatch):
 
 
 @pytest.mark.parametrize("bits_a,bits_x", CONFIGS)
-@pytest.mark.parametrize("b", [2, 4, 8])
+@pytest.mark.parametrize("b", [2, 3, 8])   # 3: non-power-of-two lanes
 def test_mvm_batched_kernel(rng, bits_a, bits_x, b):
     """One matrix stream serves B vectors: per-vector results match B
     separate mvm_pallas calls within 1 output LSB (integer accumulation
@@ -183,6 +183,27 @@ def test_mvm_batched_kernel(rng, bits_a, bits_x, b):
         lsb = np.repeat(np.asarray(want.scales), BLOCK) / (
             7.0 if want.bits == 4 else 127.0)
         assert np.all(np.abs(got_v - want_v) <= lsb * (1 + 1e-3))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu PRNG has no interpret-mode implementation")
+def test_mvm_batched_sr_statistics(rng):
+    """With SR on, the batched kernel's per-vector draws are unbiased
+    and stochastic (mirrors test_mvm_kernel_sr_statistics)."""
+    from clover_tpu.kernels.mvm_batched import mvm_batched_pallas
+    qA, qx = _mk(rng, 256, 512, 4, 4)
+    xs = jax.tree.map(lambda *a: jnp.stack(a), *([qx] * 4))
+    y_ref = _golden_f32(qA, qx)
+    outs = []
+    for s in range(8):
+        ys = mvm_batched_pallas(qA, xs, key=jax.random.PRNGKey(s))
+        for j in range(4):
+            outs.append(np.asarray(ct.restore(
+                jax.tree.map(lambda a: a[j], ys)).values))
+    mean = np.mean(outs, axis=0)
+    lsb = np.repeat(np.asarray(ys.scales[0]), BLOCK) / 7.0
+    assert np.all(np.abs(mean - y_ref) <= lsb)
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:])
 
 
 def test_mvm_batched_op_dispatch(rng, monkeypatch):
