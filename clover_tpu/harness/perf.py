@@ -498,6 +498,50 @@ def bench_iht(log, sizes=IHT_SIZES, configs=IHT_CONFIGS):
             log(f"{'':28s} -> {1 / dt:10.0f} iters/s")
 
 
+def bench_iht_batched(log, sizes=IHT_SIZES[:2], b: int = 8):
+    """Per-problem throughput of the batched solver (models/batch.py):
+    B problems share one matrix stream per MVM leg."""
+    log(f"\n== batched IHT (B={b} problems, one matrix stream) — "
+        "iters/s per problem")
+    from ..models.solvers import _solve
+    from ..models.batch import _solve_b
+    from ..formats import zeros_vector
+    rng = np.random.default_rng(0)
+    for (m, n) in sizes:
+        Phi = rng.random((m, n), dtype=np.float32) * 2 - 1
+        qphi = ct.quantize(jnp.asarray(Phi), 4)
+        qphit = ct.transpose(qphi)
+        yv = Phi @ rng.random(n, dtype=np.float32)
+        qy = ct.quantize(jnp.asarray(yv / np.abs(yv).max()), 4)
+        k = n // 4
+
+        def make1(iters):
+            def run():
+                x0 = zeros_vector(4, n)
+                res = _solve(qphi, qphit, qy, x0, None, iters, k,
+                             jnp.float32(1e-4), jax.random.PRNGKey(0))
+                return float(jnp.sum(res.x.scales[:1]))
+            return run
+        t1 = chain_time(make1, k1=2)
+
+        ys = jax.tree.map(lambda *a: jnp.stack(a), *([qy] * b))
+
+        def makeb(iters):
+            def run():
+                x0 = jax.tree.map(
+                    lambda a: jnp.broadcast_to(a, (b,) + a.shape),
+                    zeros_vector(4, n))
+                res = _solve_b(qphi, qphit, ys, x0, None, iters, k,
+                               jnp.float32(1e-4), jax.random.PRNGKey(0))
+                return float(jnp.sum(res.xs.scales[:1, :1]))
+            return run
+        tb = chain_time(makeb, k1=2)
+        log(f"IHT_batched 4-bit {m}x{n} B={b}:"
+            f" {tb / b * 1e6:7.1f} us/prob/iter"
+            f" ({b / tb:8.0f} solves*iters/s,"
+            f" {t1 / (tb / b):4.2f}x vs single @ {t1 * 1e6:.1f} us)")
+
+
 def run_perf(log=print, quick: bool = False):
     vec = VEC_SIZES[:2] if quick else VEC_SIZES
     mvm = MVM_SIZES[:2] if quick else MVM_SIZES
@@ -512,3 +556,4 @@ def run_perf(log=print, quick: bool = False):
     bench_mvm_batched(log, mvm[:1] if quick else MVM_SIZES[-2:])
     bench_transpose(log, mvm)
     bench_iht(log, iht)
+    bench_iht_batched(log, iht[:1] if quick else IHT_SIZES[:2])

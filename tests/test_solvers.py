@@ -48,6 +48,70 @@ def test_gd_convergence(config):
     assert tr[-1] < 0.3 * tr[0]
 
 
+def _batched_setup(B, m, n, k, bits, seed=0):
+    import jax.numpy as jnp
+    import clover_tpu as ct
+    from clover_tpu.formats import QVec32
+    phi, _, _ = make_iht_problem(m, n, k)
+    phn = np.asarray(phi)
+    rng = np.random.default_rng(seed)
+    stars, qys, stars_q = [], [], []
+    qphi = ct.quantize(jax.numpy.asarray(phi), bits, key=None)
+    for _ in range(B):
+        xs = np.zeros(n, np.float32)
+        xs[rng.choice(n, k, replace=False)] = 1.0
+        y = phn @ xs
+        s = float(np.abs(y).max())
+        qys.append(ct.quantize(jnp.asarray(y / s), bits, key=None))
+        stars_q.append(QVec32(
+            values=jnp.asarray(np.pad(xs / s, (0, qphi.cols_pad - n))),
+            length=n))
+    qphit = ct.transpose(qphi)
+    stack = lambda qs: jax.tree.map(lambda *a: jnp.stack(a), *qs)
+    return qphi, qphit, qys, stars_q, stack(qys), stack(stars_q)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_iht_batched_matches_singles(bits):
+    """Batched IHT (one matrix stream for B problems) lands in the same
+    recovery regime as B independent single solves — same loose 4/8-bit
+    tolerance as the sharded solver tests (per-op 1-LSB differences
+    compound chaotically at low precision)."""
+    from clover_tpu.models import iht, iht_batched
+    B, m, n, k, mu, iters = 3, 256, 512, 32, 0.01, 30
+    qphi, qphit, qys, stars_q, ys_stack, star_stack = _batched_setup(
+        B, m, n, k, bits)
+    res = iht_batched(qphi, qphit, ys_stack, iters, k, mu,
+                      key=None, xs_star=star_stack)
+    tr = np.asarray(res.trace)
+    assert tr.shape == (iters, B)
+    assert np.all(np.isfinite(tr)) and np.all(tr[-1] < 0.7 * tr[0])
+    for j in range(B):
+        single = iht(qphi, qphit, qys[j], iters, k, mu,
+                     key=None, x_star=stars_q[j])
+        st = np.asarray(single.trace)
+        # first iteration agrees tightly; finals in the same regime
+        assert abs(tr[0, j] - st[0]) <= 0.05 * st[0]
+        assert tr[-1, j] <= max(1.3 * st[-1], st[-1] + 0.05)
+
+    # deterministic mode is bit-reproducible
+    res2 = iht_batched(qphi, qphit, ys_stack, iters, k, mu,
+                       key=None, xs_star=star_stack)
+    np.testing.assert_array_equal(np.asarray(res.xs.codes),
+                                  np.asarray(res2.xs.codes))
+
+
+def test_gd_batched_converges():
+    from clover_tpu.models import gd_batched
+    B, m, n = 2, 256, 512
+    qphi, qphit, qys, stars_q, ys_stack, star_stack = _batched_setup(
+        B, m, n, 32, 8)
+    res = gd_batched(qphi, qphit, ys_stack, 40, 0.002,
+                     key=None, xs_star=star_stack)
+    tr = np.asarray(res.trace)
+    assert np.all(np.isfinite(tr)) and np.all(tr[-1] < tr[0])
+
+
 def test_problem_generators():
     phi, x, y = make_iht_problem(128, 256, 16)
     assert phi.shape == (128, 256) and x.shape == (256,) and y.shape == (128,)
