@@ -26,10 +26,11 @@ the standard K = n/4 must materialize gathered rows plus a dequantized
 operand (f32/bf16) in HBM — MORE traffic than the dense stream it
 replaces (it only pays off for K < ~n/9, which none of the reference
 protocols use).  ops/sparse.mvm_sparse remains available and tested for
-genuinely sparse regimes.  The round-2 end-to-end targets were met
-dense: 4-bit IHT 83% of HBM roofline at 4096x8192 (20.3k iters/s) and
-8.3x/6.7x over fp32 IHT at 4096x8192/8192x16384
-(doc/results/performance_tpu_v5e.txt).
+genuinely sparse regimes.  The round-2 end-to-end numbers were met
+dense: 4-bit IHT 64% of HBM roofline at 8192x16384 and 6.5x/5.4x over
+fp32 IHT at 8192x16384/4096x8192, single coherent session
+(doc/results/performance_tpu_v5e.txt).  For MANY problems against one
+matrix, models/batch.py amortizes the matrix stream across the batch.
 """
 
 from __future__ import annotations
