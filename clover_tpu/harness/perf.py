@@ -500,7 +500,10 @@ def bench_iht(log, sizes=IHT_SIZES, configs=IHT_CONFIGS):
 
 def bench_iht_batched(log, sizes=IHT_SIZES[:2], b: int = 8):
     """Per-problem throughput of the batched solver (models/batch.py):
-    B problems share one matrix stream per MVM leg."""
+    B problems share one matrix stream per MVM leg.  The single solver
+    is deliberately RE-measured here (not reused from bench_iht) so the
+    printed ratio pairs both sides in the same chip/tunnel state —
+    solve times drift ~40% between sessions."""
     log(f"\n== batched IHT (B={b} problems, one matrix stream) — "
         "iters/s per problem")
     from ..models.solvers import _solve
@@ -526,11 +529,11 @@ def bench_iht_batched(log, sizes=IHT_SIZES[:2], b: int = 8):
 
         ys = jax.tree.map(lambda *a: jnp.stack(a), *([qy] * b))
 
+        from ..models.batch import _initial_xs
+
         def makeb(iters):
             def run():
-                x0 = jax.tree.map(
-                    lambda a: jnp.broadcast_to(a, (b,) + a.shape),
-                    zeros_vector(4, n))
+                x0 = _initial_xs(qphi, ys)
                 res = _solve_b(qphi, qphit, ys, x0, None, iters, k,
                                jnp.float32(1e-4), jax.random.PRNGKey(0))
                 return float(jnp.sum(res.xs.scales[:1, :1]))

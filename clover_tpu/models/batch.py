@@ -54,19 +54,20 @@ def _batch(qs):
     return jax.tree_util.tree_leaves(qs)[0].shape[0]
 
 
-def _iteration_b(Phi, PhiT, ys, xs, mu, k, seed):
+def _iteration_b(Phi, PhiT, ys, xs, mu, k, seed, use_kernel):
     k1, k2, k3, k4 = _op_seeds(seed)
-    t1 = mvm_batched(Phi, xs, key=k1)                      # (B, m)
+    t1 = mvm_batched(Phi, xs, key=k1, use_kernel=use_kernel)   # (B, m)
     t2 = jax.vmap(lambda y, t: scale_and_add(y, t, -1.0, key=k2))(ys, t1)
-    t3 = mvm_batched(PhiT, t2, key=k3)                     # (B, n)
+    t3 = mvm_batched(PhiT, t2, key=k3, use_kernel=use_kernel)  # (B, n)
     xs = jax.vmap(lambda x, t: scale_and_add(x, t, mu, key=k4))(xs, t3)
     if k is not None:
         xs = jax.vmap(lambda x: threshold(x, k))(xs)
     return xs
 
 
-@partial(jax.jit, static_argnames=("iterations", "k"))
-def _solve_b(Phi, PhiT, ys, xs0, xs_star, iterations: int, k, mu, key):
+@partial(jax.jit, static_argnames=("iterations", "k", "use_kernel"))
+def _solve_b(Phi, PhiT, ys, xs0, xs_star, iterations: int, k, mu, key,
+             use_kernel=None):
     from ..kernels.dispatch import SEED_GOLD, seed_from
     if xs_star is not None:
         star32 = xs_star.values                            # (B, n_pad)
@@ -76,7 +77,7 @@ def _solve_b(Phi, PhiT, ys, xs0, xs_star, iterations: int, k, mu, key):
     def body(xs, it):
         seed = (seed0 + it * jnp.int32(SEED_GOLD)
                 if seed0 is not None else None)
-        xs = _iteration_b(Phi, PhiT, ys, xs, mu, k, seed)
+        xs = _iteration_b(Phi, PhiT, ys, xs, mu, k, seed, use_kernel)
         if xs_star is not None:
             xh = jax.vmap(lambda x: restore_vec(x).values)(xs)
             err = jnp.linalg.norm(xh - star32, axis=-1) / star_norm
@@ -96,21 +97,28 @@ def _initial_xs(Phi, ys):
 
 
 def iht_batched(Phi, PhiT, ys, iterations: int, k: int, mu: float,
-                key=None, xs_star=None) -> BatchSolveResult:
+                key=None, xs_star=None, use_kernel=None
+                ) -> BatchSolveResult:
     """Quantized IHT over a batch of observation vectors.
 
     ``ys`` is a stacked quantized vector container (leading batch dim,
     as built by ``jax.tree.map(lambda *a: jnp.stack(a), *vec_list)``);
     every problem shares ``Phi``/``PhiT``/``mu``/``k``.  ``xs_star``
-    (stacked QVec32, optional) enables per-problem error traces."""
+    (stacked QVec32, optional) enables per-problem error traces.
+    ``use_kernel``: forwarded to mvm_batched — a caller with Phi/PhiT
+    SHARDED over a mesh must pass False (inside the jitted solve the
+    sharding is invisible, so auto-select would pick the pallas kernel
+    and gather the matrix onto one chip)."""
     xs0 = _initial_xs(Phi, ys)
     return _solve_b(Phi, PhiT, ys, xs0, xs_star, iterations, int(k),
-                    jnp.float32(mu), key)
+                    jnp.float32(mu), key, use_kernel)
 
 
 def gd_batched(Phi, PhiT, ys, iterations: int, mu: float,
-               key=None, xs_star=None) -> BatchSolveResult:
-    """Quantized gradient descent over a batch of observation vectors."""
+               key=None, xs_star=None, use_kernel=None
+               ) -> BatchSolveResult:
+    """Quantized gradient descent over a batch of observation vectors
+    (``use_kernel``: see iht_batched)."""
     xs0 = _initial_xs(Phi, ys)
     return _solve_b(Phi, PhiT, ys, xs0, xs_star, iterations, None,
-                    jnp.float32(mu), key)
+                    jnp.float32(mu), key, use_kernel)

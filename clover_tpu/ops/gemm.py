@@ -79,7 +79,13 @@ def mvm_batched(A, xs, key=None, use_kernel: bool | None = None):
     out_bits = _out_bits(A, xs)
     keys = None
     if key is not None:
-        keys = jax.random.split(key, leaf.shape[0])
+        # normalize like every other op (seed_from accepts PRNG keys OR
+        # the solvers' carried int32 seeds — jax.random.split would
+        # reject the latter) and give each vector its own seed
+        from ..kernels.dispatch import seed_from
+        seed = seed_from(key)[0]
+        keys = (seed[None, :]
+                + jnp.arange(leaf.shape[0], dtype=jnp.int32)[:, None])
 
     def one(x, k):
         y32 = mvm_f32(A, x)

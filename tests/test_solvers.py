@@ -101,6 +101,28 @@ def test_iht_batched_matches_singles(bits):
                                   np.asarray(res2.xs.codes))
 
 
+def test_iht_batched_sr_on_fallback(monkeypatch):
+    """Regression: SR-enabled batched solves must work on the vmapped
+    XLA fallback too — _op_seeds passes carried int32 seeds as `key`,
+    which jax.random.split rejected (the fallback now normalizes via
+    seed_from like every other op)."""
+    from clover_tpu.models import iht_batched
+    B, m, n, k = 2, 256, 512, 32
+    qphi, qphit, qys, stars_q, ys_stack, star_stack = _batched_setup(
+        B, m, n, k, 4)
+    monkeypatch.setenv("CLOVER_PALLAS", "0")
+    res = iht_batched(qphi, qphit, ys_stack, 5, k, 0.01,
+                      key=jax.random.PRNGKey(0), xs_star=star_stack)
+    monkeypatch.delenv("CLOVER_PALLAS")
+    tr = np.asarray(res.trace)
+    assert np.all(np.isfinite(tr))
+    # SR draws differ between keys
+    res2 = iht_batched(qphi, qphit, ys_stack, 5, k, 0.01,
+                       key=jax.random.PRNGKey(1), xs_star=star_stack)
+    assert not np.array_equal(np.asarray(res.xs.codes),
+                              np.asarray(res2.xs.codes))
+
+
 def test_gd_batched_converges():
     from clover_tpu.models import gd_batched
     B, m, n = 2, 256, 512
