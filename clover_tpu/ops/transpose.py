@@ -10,6 +10,13 @@ the scale grid commute exactly: ``T(A).get(i,j) == A.get(j,i)`` bit-for-bit
 On TPU the nibble relayout is a pack/unpack pair around ``jnp.transpose``
 (an XLA copy at HBM bandwidth) — there is no AVX2-style in-register shuffle
 to re-create.
+
+fp16 stays on the XLA relayout deliberately: Mosaic has no f16 type, and
+an int16-bitcast Pallas transpose (676 GB/s raw at n=16K vs XLA's 330)
+loses its entire gain at the op boundary — the f16<->int16
+``bitcast_convert_type`` around the pallas_call materializes full copies
+(custom-call operands cannot fuse producers), measured right back at
+330 GB/s end to end.
 """
 
 from __future__ import annotations
