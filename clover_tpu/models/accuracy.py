@@ -41,14 +41,31 @@ def _quantize_problem(phi, y, mat_bits: int, vec_bits: int, key):
 
 
 def run_iht_accuracy(config, m=512, n=1024, k=64, epochs=200,
-                     mu=None, seed=None, key=None):
+                     mu=None, seed=None, key=None, data="auto"):
     """Run one precision config of the IHT accuracy protocol.
 
     ``config`` is 4, 8, 16, 32, or "4x8".  Returns the per-epoch relative
     recovery error trace (f32[epochs]).
+
+    ``data`` selects the problem instance: "reference" = the bit-exact
+    (Phi, x*, y) the reference's ``clover -a`` solves
+    (problems.make_iht_problem_reference — required for accuracy-parity
+    comparisons, because the published mu values are tuned to that exact
+    Phi); "threefry" = this framework's own generator; "auto" (default)
+    = "reference" at the protocol size (512x1024, no explicit seed),
+    else "threefry".
     """
-    kwargs = {} if seed is None else {"seed": seed}
-    phi, x_star, y = make_iht_problem(m, n, k, **kwargs)
+    if data == "auto":
+        data = ("reference" if (m, n) == (512, 1024) and seed is None
+                else "threefry")
+    if data == "reference":
+        import jax.numpy as jnp
+        from .problems import make_iht_problem_reference
+        phi, x_star, y = (jnp.asarray(a)
+                          for a in make_iht_problem_reference(m, n, k))
+    else:
+        kwargs = {} if seed is None else {"seed": seed}
+        phi, x_star, y = make_iht_problem(m, n, k, **kwargs)
     mat_bits = 4 if config == "4x8" else config
     vec_bits = 8 if config == "4x8" else config
     mu = ACCURACY_MU[config] if mu is None else mu

@@ -98,6 +98,47 @@ def np_stream(key1: int, key2: int, n_draws: int, lanes: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# The reference's *AVX* stream (data-generation parity)
+# ---------------------------------------------------------------------------
+
+def avx_part2_lanes(key1: int, key2: int, lanes: int = 4) -> np.ndarray:
+    """The four per-lane 64-bit states the vendored AVX generator actually
+    evolves: ``avx_xorshift128plus_init`` fills S0/S1 by scalar jump
+    chaining (simdxorshift128plus.h:81-92), but the AVX step never reads
+    part1 — only the S1 (part2) lanes matter."""
+    _, s1 = init_lanes(key1, key2, lanes)
+    return s1.copy()
+
+
+def avx_quirk_stream(state: np.ndarray, n_draws: int):
+    """n_draws steps of the reference's AVX generator.
+
+    The vendored ``avx_xorshift128plus`` (simdxorshift128plus.h:97-109)
+    is NOT xorshift128+: it assigns ``part1 = part2`` and derives
+    everything from part2, so each 64-bit lane evolves a 64-bit state:
+
+        t = u ^ (u << 23);  u' = t ^ u ^ (t >> 18) ^ (u >> 5);  out = u' + u
+
+    This quirk is observable in every random stream the reference commits
+    to (data generation AND stochastic rounding), so bit-parity features
+    must reproduce it.  Returns (uint32[n_draws, 2*lanes] in AVX register
+    memory order — [lo32(w0), hi32(w0), lo32(w1), ...] — and the final
+    lane state).
+    """
+    u = state.copy()
+    lanes = u.shape[0]
+    out = np.zeros((n_draws, 2 * lanes), np.uint32)
+    for i in range(n_draws):
+        t = u ^ (u << U64(23))
+        un = t ^ u ^ (t >> U64(18)) ^ (u >> U64(5))
+        o = un + u
+        u = un
+        out[i, 0::2] = (o & U64(0xFFFFFFFF)).astype(np.uint32)
+        out[i, 1::2] = (o >> U64(32)).astype(np.uint32)
+    return out, u
+
+
+# ---------------------------------------------------------------------------
 # JAX implementation (uint32 pairs; jit/scan/TPU-safe)
 # ---------------------------------------------------------------------------
 

@@ -144,3 +144,23 @@ def test_problem_generators():
     norms = np.linalg.norm(np.asarray(phi), axis=1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
     assert set(np.unique(np.asarray(x))) == {-1.0, 1.0}
+
+
+def test_reference_problem_instance_bit_exact():
+    """make_iht_problem_reference reproduces the exact (Phi, x*, y) the
+    reference's `clover -a` solves.  The pinned bit patterns below were
+    cross-validated in round 3 against a from-source build of the
+    reference driven with its committed data keys
+    (doc/results/mixed48_rootcause_r3.md): Phi, x*, y all bit-equal."""
+    from clover_tpu.models.problems import make_iht_problem_reference
+    phi, x, y = make_iht_problem_reference(512, 1024, 64)
+    assert phi.view(np.int32)[0, 0] == 1040173136       # 0.12489378
+    assert phi.view(np.int32)[0, 1] == -1104141380      # -0.17201132
+    assert phi.view(np.int32)[511, 1023] == 1064194060
+    assert abs(float(phi.astype(np.float64).sum()) - (-183.7597440481186)) < 1e-9
+    nz = np.nonzero(x)[0]
+    assert nz[:8].tolist() == [6, 10, 11, 27, 45, 85, 87, 133]
+    assert len(nz) == 64 and int(nz.sum()) == 32050
+    assert y.view(np.int32)[:3].tolist() == [1090290054, 1091896697, -1074667511]
+    assert y.view(np.int32)[511] == 1072825040
+    np.testing.assert_allclose(phi @ x, y, rtol=1e-5, atol=1e-5)
