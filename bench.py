@@ -143,6 +143,16 @@ def main():
     qA8 = ct.quantize(jnp.asarray(A), 8)
     qx8 = ct.quantize(jnp.asarray(x), 8)
 
+    # Same-grid DMA-only reference, measured THIS session (the 819 GB/s
+    # spec is unreachable for this access pattern — ~740 GB/s measured
+    # ceiling, mvm_ablation_r2.md §2 / mvm_dossier_r3.md): the headline
+    # detail reports pct_of_achievable = kernel rate / this probe's rate.
+    from clover_tpu.kernels.probes import dma_probe_call
+    probe_make, probe_bytes = dma_probe_call(qA4)
+    p1, p2 = probe_make(K1), probe_make(K2)
+    p1(); p2()
+    t_dma = sorted((p2() - p1()) / (K2 - K1) for _ in range(REPS))[REPS // 2]
+
     t4_sr = bench_mvm_chain(qA4, qx4, sr=True)
     t4_det = bench_mvm_chain(qA4, qx4, sr=False)
     # ONE guarded headline time: the SR chain (the solver hot path), with
@@ -197,6 +207,11 @@ def main():
         "unit": "% of 819 GB/s",
         "vs_baseline": round(pct / REF_PCT_OF_ROOFLINE, 3),
         "detail": {
+            "dma_floor_ms": round(t_dma * 1e3, 3),
+            "dma_floor_gbs": round(gbs(probe_bytes, t_dma), 1),
+            "pct_of_achievable": round(
+                100.0 * (gbs(qA4.nbytes, t4)
+                         / max(gbs(probe_bytes, t_dma), 1e-9)), 1),
             "mvm4_sr_ms": round(t4_sr * 1e3, 3),
             "mvm4_det_ms": round(t4_det * 1e3, 3),
             "mvm4_gbs": round(gbs(qA4.nbytes, t4), 1),

@@ -29,8 +29,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exhaustive size sweeps (validation)")
     p.add_argument("--quick", action="store_true",
                    help="reduced size set (performance / search)")
+    p.add_argument("--sharded", action="store_true",
+                   help="-p: bench the shard_map path (mvm_psum / "
+                        "iht_sharded) over the available device mesh")
     p.add_argument("--gd", action="store_true",
-                   help="use gradient descent instead of IHT (-a, -g)")
+                   help="use gradient descent instead of IHT (-a; restricts "
+                        "-g to the GD families)")
+    p.add_argument("--mixed", action="store_true",
+                   help="restrict -g to the mixed 4x8 families (reference "
+                        "runs pure then mixed; default runs all four)")
+    p.add_argument("--ladder19", action="store_true",
+                   help="use the reference's full 19-size ladder for -g "
+                        "(default: 12 sizes, 256..32768)")
     p.add_argument("--epochs", type=int, default=200,
                    help="accuracy-mode epochs (default 200)")
     p.add_argument("--no-sr", action="store_true",
@@ -59,18 +69,34 @@ def main(argv=None) -> int:
         ok = run_validation(full=args.full) and ok
     if args.performance:
         from .harness.perf import run_perf
-        run_perf(quick=args.quick)
+        run_perf(quick=args.quick, sharded=args.sharded)
     if args.accuracy:
         from .harness.accuracy import run_accuracy
         run_accuracy(epochs=args.epochs, sr=not args.no_sr, gd=args.gd)
     if args.grid_search:
-        from .harness.search import SEARCH_SIZES, run_search
-        sizes = SEARCH_SIZES[:2] if args.quick else SEARCH_SIZES
-        rows = run_search(sizes=sizes, gd=args.gd)
-        print(f"\n{'m':>8} {'n':>8} {'K':>8} {'quality':>10} "
-              f"{'mu':>14} {'iters':>6}")
-        for (m, n, k, q, mu, it) in rows:
-            print(f"{m:>8} {n:>8} {k:>8} {q:>10.6f} {mu:>14.8f} {it:>6}")
+        # The reference's -g runs GD pure, IHT pure, GD mixed, IHT mixed
+        # in one invocation (test/search/00_search.cpp:249-263), each with
+        # all four precision columns per size.
+        from .harness.search import (
+            SEARCH_SIZES_FULL, SIZE_LADDER, run_search_full)
+        kinds = [k for k in ("gd", "iht", "gd_mixed", "iht_mixed")
+                 if (not args.gd or k.startswith("gd"))
+                 and (not args.mixed or k.endswith("mixed"))]
+        sizes = (SIZE_LADDER if args.ladder19 else SEARCH_SIZES_FULL)
+        if args.quick:
+            sizes = sizes[:2]
+        results = run_search_full(sizes=sizes, kinds=tuple(kinds),
+                                  log=lambda *a: None)
+        for kind, rows in results.items():
+            print(f"\n=== {kind} ===")
+            print(f"{'bits':>5} {'m':>8} {'n':>8} {'K':>8} "
+                  f"{'iters':>6} {'mu':>14} {'target':>10}")
+            for row in rows:
+                for bits, col in row["cols"].items():
+                    it, mu = col if col else ("-", float("nan"))
+                    print(f"{bits:>5} {row['m']:>8} {row['n']:>8} "
+                          f"{row['K']:>8} {it:>6} {mu:>14.8f} "
+                          f"{row['quality_target']:>10.6f}")
     return 0 if ok else 1
 
 

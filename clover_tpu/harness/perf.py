@@ -49,8 +49,20 @@ def bench_quantize(log, sizes=VEC_SIZES):
         # through the tunnel takes minutes
         X = jax.random.uniform(jax.random.PRNGKey(0), (p, n),
                                minval=-1.0, maxval=1.0)
-        for bits in (4, 8, 16):
+        for bits in (4, 8, 16, 32):
             def make(iters):
+                if bits == 32:
+                    # fp32 "quantize" is a copy (reference: CloverVector32
+                    # quantize, performance.txt fp32 row ~12.6 GB/s):
+                    # whole-ring carried copy per iteration
+                    @jax.jit
+                    def g(X):
+                        def body(i, h):
+                            return X + h[0, 0] * 1e-30
+                        h = jax.lax.fori_loop(
+                            0, iters, body, jnp.zeros((p, n), jnp.float32))
+                        return h[0, 0]
+                    return lambda: float(g(X))
                 if bits == 16:
                     # pure convert: whole-ring batched convert per
                     # iteration (>= 512 MB — forced HBM streaming),
@@ -81,8 +93,8 @@ def bench_quantize(log, sizes=VEC_SIZES):
                     return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
                 return lambda: float(g(x0, jnp.asarray([7], jnp.int32)))
             dt = chain_time(make)
-            if bits == 16:
-                dt /= p          # whole-ring batched convert
+            if bits in (16, 32):
+                dt /= p          # whole-ring batched convert/copy
             q = ct.quantize(X[0], bits)
             nbytes = 4 * n + q.nbytes
             _row(log, f"quantize {bits:2d}-bit n={n}", nbytes, dt)
@@ -222,7 +234,7 @@ def bench_axpy(log, sizes=VEC_SIZES):
         t32 = chain_time(make32) / p
         _row(log, f"scaleAndAdd 32-bit n={n}", 12 * n, t32)
 
-        for bits in (4, 8):
+        for bits in (4, 8, 16):
             qx, qy = ct.quantize(x, bits), ct.quantize(y, bits)
 
             def make(iters):
@@ -230,8 +242,9 @@ def bench_axpy(log, sizes=VEC_SIZES):
                 def g(u, v):
                     def body(i, u):
                         return ct.scale_and_add(u, v, -0.5)
-                    return jnp.sum(
-                        jax.lax.fori_loop(0, iters, body, u).scales)
+                    out = jax.lax.fori_loop(0, iters, body, u)
+                    return jnp.sum(out.scales if bits != 16 else
+                                   out.values[:8].astype(jnp.float32))
                 return lambda: float(g(qx, qy))
             dt = chain_time(make)
             _row(log, f"scaleAndAdd {bits:2d}-bit n={n}", 3 * qx.nbytes,
@@ -297,6 +310,26 @@ def bench_dot(log, sizes=VEC_SIZES):
             dt = chain_time(make)
             _row(log, f"dot {bits:2d}-bit n={n}", 2 * qu.nbytes, dt, t32)
 
+        # 16-bit dot (reference: 00_test.cpp:296-316 benches all four
+        # precisions; fp16 here is the XLA convert-and-MXU path)
+        q16u, q16v = ct.quantize(u, 16), ct.quantize(v, 16)
+
+        def make16(iters):
+            @jax.jit
+            def g(qu, qv):
+                def body(i, carry):
+                    vals, s = carry
+                    qu2 = type(q16u)(values=vals, length=q16u.length)
+                    d = ct.dot(qu2, qv)
+                    return (vals.at[0].add((d * 1e-30).astype(jnp.float16)
+                                           + jnp.float16(1e-6)), s + d)
+                _, s = jax.lax.fori_loop(0, iters, body,
+                                         (qu.values, jnp.float32(0)))
+                return s
+            return lambda: float(g(q16u, q16v))
+        dt = chain_time(make16)
+        _row(log, f"dot 16-bit n={n}", 2 * q16u.nbytes, dt, t32)
+
 
 def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
     log(f"\n== threshold (top-K, K={k}) — bytes = 1 read + 1 write")
@@ -331,6 +364,37 @@ def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
                 return lambda: float(g(q))
             dt = chain_time(make)
             _row(log, f"threshold {bits:2d}-bit n={n}", 2 * q.nbytes, dt)
+
+
+def bench_get(log, n=1 << 20, r=4096):
+    """Element access (reference: test/performance/00_test.cpp:272-288
+    benches per-element vector get at every precision).  TPU analog:
+    one jitted gather of r random indices, dequantized (ops.access.
+    vec_gather); reported per element."""
+    from ..ops.access import vec_gather
+    log(f"\n== element get (gather of {r} random indices, n={n}) — ns/elem")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
+    idx0 = jnp.asarray(rng.integers(0, n, r), jnp.int32)
+    for bits in (4, 8, 16, 32):
+        q = ct.quantize(x, bits)
+
+        def make(iters):
+            @jax.jit
+            def g(q, idx):
+                def body(i, carry):
+                    idx, s = carry
+                    v = vec_gather(q, idx)
+                    idx = jnp.bitwise_and(
+                        idx + 1 + (s * 1e-30).astype(jnp.int32), n - 1)
+                    return (idx, s + v[0])
+                _, s = jax.lax.fori_loop(0, iters, body,
+                                         (idx, jnp.float32(0)))
+                return s
+            return lambda: float(g(q, idx0))
+        dt = chain_time(make)
+        log(f"get {bits:2d}-bit                     {dt * 1e3:9.4f} ms "
+            f"{dt / r * 1e9:9.2f} ns/elem")
 
 
 def bench_mvm_batched(log, sizes=MVM_SIZES[-2:], batches=(1, 4, 16)):
@@ -545,16 +609,121 @@ def bench_iht_batched(log, sizes=IHT_SIZES[:2], b: int = 8):
             f" {t1 / (tb / b):4.2f}x vs single @ {t1 * 1e6:.1f} us)")
 
 
-def run_perf(log=print, quick: bool = False):
+def bench_sharded(log, sizes=(8192,), iht_size=(4096, 8192)):
+    """`-p --sharded`: drive the shard_map path (parallel/ops.mvm_psum,
+    parallel/solvers.iht) over whatever mesh exists — on the single real
+    chip a 1x1 mesh (parity + overhead vs the direct kernel), on the CPU
+    sim the plumbing — reporting per-shard effective bandwidth.  This is
+    the same code path ``dryrun_multichip`` compiles (BASELINE.json:
+    "measured at 1 chip, 1 host, and N>=2 hosts")."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel import make_mesh, shard_matrix, shard_vector
+    from ..parallel.mesh import COL, ROW
+    from ..parallel.ops import mvm_psum, mvm_psum_overlapped
+    from ..parallel.solvers import (
+        _local_mat, _local_vec, _shard_map, iht as iht_sharded)
+    from ..formats import QVec32, zeros_vector
+    from ..models.solvers import _solve
+
+    mesh = make_mesh()
+    R, C = mesh.shape[ROW], mesh.shape[COL]
+    n_dev = R * C
+    log(f"\n== sharded path: mesh {R}x{C} ({n_dev} device(s)) — "
+        "mvm_psum / iht_sharded via shard_map")
+    rng = np.random.default_rng(0)
+
+    for n in sizes:
+        A = rng.random((n, n), dtype=np.float32) * 2 - 1
+        x = rng.random(n, dtype=np.float32) * 2 - 1
+        qA = ct.quantize(jnp.asarray(A), 4)
+        qx = ct.quantize(jnp.asarray(x), 4)
+
+        # direct (unsharded) fused MVM reference in the same session
+        def make_direct(iters):
+            @jax.jit
+            def g(qA, qx):
+                def body(i, s):
+                    q2 = type(qx)(codes=qx.codes, scales=qx.scales + s * 1e-30,
+                                  length=qx.length)
+                    y = ct.mvm(qA, q2)
+                    return s + jnp.sum(y.scales) * 1e-30
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+            return lambda: float(g(qA, qx))
+        t_direct = chain_time(make_direct)
+        _row(log, f"mvm 4x4 direct n={n}", qA.nbytes, t_direct)
+
+        qAs = shard_matrix(qA, mesh)
+        qxs = shard_vector(qx, mesh, COL)
+        for label, mv in (("psum", mvm_psum),
+                          ("psum-ovl4", lambda *a, **k: mvm_psum_overlapped(
+                              *a, chunks=4, **k))):
+            def make(iters):
+                def local(ac, asc, xc, xsc):
+                    A_l = _local_mat(qA, R, C, (ac, asc))
+                    def body(i, s):
+                        x_l = _local_vec(qx, C, (xc, xsc + s * 1e-30))
+                        y = mv(A_l, x_l, COL, None, 4, ROW)
+                        return s + jnp.sum(y.scales) * 1e-30
+                    return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+                fn = jax.jit(_shard_map(
+                    local, mesh,
+                    (P(ROW, COL), P(ROW, COL), P(COL), P(COL)), P()))
+                return lambda: float(fn(qAs.codes, qAs.scales,
+                                        qxs.codes, qxs.scales))
+            dt = chain_time(make)
+            _row(log, f"mvm_{label} 4x4 n={n} {R}x{C}", qA.nbytes, dt,
+                 t_direct)
+            log(f"{'':28s} -> per-shard "
+                f"{gbs(qA.nbytes // n_dev, dt):9.1f} GB/s, "
+                f"overhead vs direct {dt / t_direct:5.2f}x")
+
+    (m, n) = iht_size
+    Phi = rng.random((m, n), dtype=np.float32) * 2 - 1
+    yv = Phi @ rng.random(n, dtype=np.float32)
+    qphi = ct.quantize(jnp.asarray(Phi), 4)
+    qphit = ct.transpose(qphi)
+    qy = ct.quantize(jnp.asarray(yv / np.abs(yv).max()), 4)
+
+    def make_single(iters):
+        def run():
+            x0 = zeros_vector(4, n)
+            res = _solve(qphi, qphit, qy, x0, None, iters, n // 4,
+                         jnp.float32(1e-4), None)
+            return float(jnp.sum(res.x.scales[:1]))
+        return run
+    t1 = chain_time(make_single, k1=2)
+    _row(log, f"IHT 4-bit single {m}x{n}", 2 * qphi.nbytes, t1)
+
+    s_phi = shard_matrix(qphi, mesh)
+    s_phit = shard_matrix(qphit, mesh, transposed=True)
+    s_y = shard_vector(qy, mesh, ROW)
+
+    def make_shard(iters):
+        def run():
+            res = iht_sharded(s_phi, s_phit, s_y, iters, n // 4, 1e-4, mesh)
+            return float(jnp.sum(res.x.scales[:1]))
+        return run
+    ts = chain_time(make_shard, k1=2)
+    _row(log, f"IHT 4-bit sharded {m}x{n} {R}x{C}", 2 * qphi.nbytes, ts)
+    log(f"{'':28s} -> per-shard {gbs(2 * qphi.nbytes // n_dev, ts):9.1f}"
+        f" GB/s, overhead vs single {ts / t1:5.2f}x")
+
+
+def run_perf(log=print, quick: bool = False, sharded: bool = False):
     vec = VEC_SIZES[:2] if quick else VEC_SIZES
     mvm = MVM_SIZES[:2] if quick else MVM_SIZES
     iht = IHT_SIZES[:1] if quick else IHT_SIZES
     log(f"\n{'op':28s} {'time':>12} {'bandwidth':>14} {'%roof':>6} {'vs f32':>7}")
+    if sharded:
+        bench_sharded(log, sizes=(mvm[-1],) if quick else (4096, 8192),
+                      iht_size=iht[0])
+        return
     bench_quantize(log, vec)
     bench_restore(log, vec)
     bench_dot(log, vec if quick else vec + [1 << 25])
     bench_axpy(log, vec)
     bench_threshold(log, vec[:2])
+    bench_get(log)
     bench_mvm(log, mvm)
     bench_mvm_batched(log, mvm[:1] if quick else MVM_SIZES[-2:])
     bench_transpose(log, mvm)

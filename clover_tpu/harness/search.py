@@ -205,16 +205,46 @@ def find_best_n_iterations(problem: SearchProblem, quality_target: float,
     return best_it, best_mu
 
 
-# The reference's search driver sizes (test/search/00_search.cpp:130-151):
-# m from 256 doubling, n = 2m, K = n/4.
+def gd_find_best_n_iterations(problem: SearchProblem, quality_target: float,
+                              lo: float = 0.1, hi: float = 0.5,
+                              precision: float = 0.05,
+                              log=lambda *_: None):
+    """GD_find_best_n_iterations (ref 03_iht_gd_util.h:278-446): linear mu
+    sweep lo..hi by `precision`; fewest iterations reaching the target."""
+    best_it, best_mu = problem.iteration_limit, lo
+    mu = lo
+    while mu <= hi + 1e-12:
+        it = problem.iterations_to(mu, quality_target)
+        log(f"mu={mu:.10f}: {it} iterations to target {quality_target:.4f}")
+        if it < best_it:
+            best_it, best_mu = it, mu
+        mu += precision
+    return best_it, best_mu
+
+
+# The reference's search driver size ladder (test/performance/00_test.cpp:
+# 75-95, shared by -g via get_test_matrix_ops_sizes): 19 entries, 256 ->
+# 32768.  IHT: m = size, n = 2m, K = n/4 (00_search.cpp:146-151); GD:
+# n = size, m = 1.5n (00_search.cpp:63-66).
+SIZE_LADDER = ([256, 512, 1024, 2048, 4096, 6144, 8192, 10240, 12288,
+                14336, 16384, 18432, 20480, 22528, 24576, 26624, 28672,
+                30720, 32768])
 SEARCH_SIZES = [(256 << i, 512 << i) for i in range(5)]
+# Default ladder for full regeneration runs: 12 sizes spanning the
+# reference's range (the full 19 are one flag away via SIZE_LADDER).
+SEARCH_SIZES_FULL = [256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+                     8192, 16384, 32768]
+
+# The per-precision columns the reference tunes per size
+# (00_search.cpp:229-238): the 4-bit (pure or mixed) config sets the
+# quality target; 8/16/32-bit tune iterations to that target.
+PRECISION_COLUMNS = [(8, 8), (16, 16), (32, 32)]
 
 
 def run_search(sizes=None, mixed=False, gd=False, seed=None, log=print):
-    """The `-g` mode: per size, best quality / mu / iterations for the
-    pure 4-bit (or mixed 4x8) configuration.  Returns rows of
-    (m, n, K, quality, mu, iterations) — the data the reference hard-codes
-    back into 03_iht_gd_util.cpp:30-447."""
+    """Single-family search (kept for the round-2 regeneration scripts):
+    per size, best quality / mu / iterations for the pure 4-bit (or mixed
+    4x8) configuration.  Returns (m, n, K, quality, mu, iterations) rows."""
     rows = []
     for (m, n) in sizes or SEARCH_SIZES:
         k = n // 4
@@ -234,3 +264,79 @@ def run_search(sizes=None, mixed=False, gd=False, seed=None, log=print):
         rows.append((m, n, k, q, mu, it))
         log(f"size {m}x{n} K={k}: quality={q:.6f} mu={mu:.8f} iters={it}")
     return rows
+
+
+def search_family(kind: str, size: int, seed=None, log=print):
+    """One size of one family at the reference's full granularity
+    (00_search.cpp:130-263): the 4-bit config (pure 4x4 or mixed 4x8)
+    searches best quality, the target is relaxed (/0.98 IHT, /0.9 GD),
+    then EVERY precision tunes (iterations, mu) to that target.
+
+    ``kind``: "iht" | "iht_mixed" | "gd" | "gd_mixed".  Returns
+    {"m", "n", "K", "quality_target", "cols": {4: (iters, mu), 8: ...,
+    16: ..., 32: ...}}; a column that cannot run (e.g. fp32 at sizes
+    whose Phi + PhiT exceed HBM) is recorded as None, never silently
+    dropped.
+    """
+    gd = kind.startswith("gd")
+    mixed = kind.endswith("mixed")
+    kwargs = {} if seed is None else {"seed": seed}
+    if gd:
+        m, n = int(size * 1.5), size          # ref 00_search.cpp:63-66
+        k = 0
+        phi, x_star, y = problems.make_gd_problem(m, n, **kwargs)
+    else:
+        m, n = size, 2 * size                 # ref 00_search.cpp:146-151
+        k = n // 4
+        phi, x_star, y = problems.make_iht_problem(m, n, k, **kwargs)
+
+    def build(mat_bits, vec_bits):
+        return SearchProblem(phi, y, x_star, mat_bits, vec_bits, k=k)
+
+    base = build(4, 8 if mixed else 4)
+    if gd:
+        q, mu0 = gd_best_possible_quality(base, 0.1, 0.5, 0.05, log=log)
+        target = q / 0.9                      # ref 00_search.cpp:110-113
+        it0, mu0 = gd_find_best_n_iterations(base, target, log=log)
+    else:
+        q, mu_q, it_q = iht_best_possible_quality(base, log=log)
+        target = q / 0.98                     # ref 00_search.cpp:216
+        it0, mu0 = find_best_n_iterations(base, target, log=log)
+        if it_q < it0:                        # ref 00_search.cpp:240-247
+            it0, mu0 = it_q, mu_q
+    cols = {4: (it0, mu0)}
+    for mat_bits, vec_bits in PRECISION_COLUMNS:
+        try:
+            prob = build(mat_bits, vec_bits)
+            if gd:
+                it, mu = gd_find_best_n_iterations(prob, target, log=log)
+            else:
+                it, mu = find_best_n_iterations(prob, target, log=log)
+            cols[mat_bits] = (it, mu)
+        except Exception as e:                # HBM etc. — record, don't hide
+            log(f"  column {mat_bits}-bit SKIPPED at {m}x{n}: {e}")
+            cols[mat_bits] = None
+        finally:
+            prob = None
+    return {"m": m, "n": n, "K": k, "quality_target": float(target),
+            "cols": cols}
+
+
+def run_search_full(sizes=None, kinds=("gd", "iht", "gd_mixed", "iht_mixed"),
+                    seed=None, log=print):
+    """The reference's complete `-g` invocation (00_search.cpp:249-263):
+    GD pure, IHT pure, GD mixed, IHT mixed — each per-size with all four
+    precision columns.  Returns {kind: [search_family rows]}."""
+    out = {}
+    for kind in kinds:
+        log(f"=== {kind} ===")
+        out[kind] = []
+        for size in sizes or SEARCH_SIZES_FULL:
+            row = search_family(kind, size, seed=seed, log=log)
+            c = ", ".join(
+                f"{b}-bit: " + (f"iters={v[0]} mu={v[1]:.8f}" if v else "SKIP")
+                for b, v in row["cols"].items())
+            log(f"{kind} {row['m']}x{row['n']} K={row['K']} "
+                f"target={row['quality_target']:.6f} | {c}")
+            out[kind].append(row)
+    return out

@@ -475,6 +475,14 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
                          memory_space=pltpu.VMEM),
         ]
 
+    # Ablation hook (doc/results/mvm_dossier_r3.md): the row-grid
+    # dimension is parallel-safe (each i owns its output tile; only the
+    # k dimension carries the accumulator), so its semantics can be
+    # swept on the FULL kernel.  Default "arbitrary" — measured equal to
+    # "parallel" within noise; the env override exists so the sweep is
+    # reproducible without editing this file.
+    import os as _os
+    row_sem = _os.environ.get("CLOVER_MVM_ROW_SEMANTICS", "arbitrary")
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -486,7 +494,7 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=(row_sem, "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )

@@ -95,6 +95,15 @@ def _acc_update(acc_ref, t, csc_ref, nb: int, tm: int, b: int):
 
 def _epilogue_b(seed_ref, ycodes_ref, yscales_ref, acc_ref, *,
                 nb, out_bits, noise, b, i):
+    if out_bits == 32:
+        # f32-output mode (the sharded path's building block: per-shard
+        # partials are psummed BEFORE band requant, parallel/ops.py
+        # mvm_batched_psum — same pattern as kernels/mvm.py mvm_pallas_f32)
+        for j in range(b):
+            y2 = jnp.sum(acc_ref[:, :, j * nb:(j + 1) * nb], axis=2)
+            ycodes_ref[0, :, j * BLOCK:(j + 1) * BLOCK] = y2
+        yscales_ref[0] = jnp.ones_like(yscales_ref[0])
+        return
     qm = QMAX[out_bits]
     pck = HALF if out_bits == 4 else BLOCK
     for j in range(b):
@@ -228,6 +237,7 @@ def _build_call_b(mode: str, m_pad: int, n_pad: int, b: int,
     ka = tk // pack
     xw = HALF if mode == "4x4" else BLOCK     # x codes width per block
     pck = HALF if out_bits == 4 else BLOCK
+    out_dtype = jnp.float32 if out_bits == 32 else jnp.int8
 
     in_specs = [
         pl.BlockSpec((tm, ka), lambda i, k, *_: (i, k),
@@ -246,7 +256,7 @@ def _build_call_b(mode: str, m_pad: int, n_pad: int, b: int,
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((gm, tm // BLOCK, b * pck), jnp.int8),
+        jax.ShapeDtypeStruct((gm, tm // BLOCK, b * pck), out_dtype),
         jax.ShapeDtypeStruct((gm, tm // BLOCK, b), jnp.float32),
     ]
     acc = pltpu.VMEM((tm // BLOCK, BLOCK, b * nb), jnp.float32)
@@ -317,3 +327,32 @@ def mvm_batched_pallas(A, xs, key=None):
     scales = ys.transpose(2, 0, 1).reshape(b, -1)
     out_cls = QVec4 if out_bits == 4 else QVec8
     return out_cls(codes=codes, scales=scales, length=A.rows)
+
+
+def mvm_batched_pallas_f32(A, xs) -> jax.Array:
+    """Batched fused MVM in f32-output mode: f32[b, m_pad], no output
+    requantization — the per-shard building block the sharded batched
+    path psums BEFORE band requant (parallel/ops.mvm_batched_psum), the
+    batched analog of kernels/mvm.mvm_pallas_f32."""
+    mode = _mode(A, xs)
+    assert mode is not None, (type(A), type(xs))
+    b = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    m_pad, n_pad = A.rows_pad, A.cols_pad
+    seed, _ = seed_from(None)
+    call, tm, tk = _build_call_b(mode, m_pad, n_pad, b, 32, False,
+                                 pallas_interpret())
+    nb, gm, gk = tk // BLOCK, m_pad // tm, n_pad // tk
+    nb_total = n_pad // BLOCK
+    xw = HALF if mode == "4x4" else BLOCK
+    xc = xs.codes.reshape(b, nb_total, xw)
+    const = {"4x4": 1.0 / (7.0 * 7.0 * 16.0),
+             "4x8": 1.0 / (7.0 * 127.0),
+             "8x8": 1.0 / (127.0 * 127.0)}[mode]
+    asc4 = (A.scales.reshape(gm, tm // BLOCK, gk, nb)
+            .transpose(0, 2, 1, 3))
+    xs3 = xs.scales.reshape(b, gk, nb).transpose(1, 0, 2)
+    csc = (asc4[:, :, :, None, :] * xs3[None, :, None, :, :]
+           * const).reshape(gm, gk, tm // BLOCK, b * nb)
+    yv, _ = call(seed, A.codes, xc, csc)
+    return (yv.reshape(gm, tm // BLOCK, b, BLOCK)
+            .transpose(2, 0, 1, 3).reshape(b, -1))

@@ -1,0 +1,90 @@
+"""Measurement-only Pallas probes (never on a production path).
+
+``dma_probe_call`` streams a packed matrix through the SAME
+(TM, KA)-tile BlockSpec/grid pipeline as the fused MVM kernel, with one
+8x128 touch per tile and no matmuls — the "same-grid DMA-only
+reference" of doc/results/mvm_ablation_r2.md §2.  bench.py measures it
+every run so the headline metric can report percent-of-ACHIEVABLE
+stream rate alongside percent-of-spec (VERDICT r2 weak #1d): the
+819 GB/s spec is not reachable for this access pattern (~740 GB/s
+measured, geometry-independent), and the probe pins that ceiling in
+the same session as the kernel measurement.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import pallas_interpret
+
+
+def _probe_kernel(a_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # one 8x128 touch: the block DMA moves the whole (TM, KA) tile into
+    # VMEM regardless; the touch just keeps the dataflow live
+    acc_ref[:] += a_ref[:8, :128].astype(jnp.float32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = acc_ref[:]
+
+
+@lru_cache(maxsize=16)
+def _build_probe(m_pad: int, ka_total: int, tm: int, ka: int,
+                 interpret: bool):
+    gm, gk = m_pad // tm, ka_total // ka
+    return pl.pallas_call(
+        _probe_kernel,
+        grid=(gm, gk),
+        in_specs=[pl.BlockSpec((tm, ka), lambda i, k: (i, k),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, k: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gm, 8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def dma_probe_call(qA):
+    """-> (jitted chain fn maker, bytes_streamed).
+
+    ``make(iters)`` returns a jitted g(codes) running an iters-long
+    dependent chain of full-matrix DMA-only streams (the carried in-place
+    one-byte update keeps XLA from hoisting the loop-invariant call).
+    Uses the shipped fused kernel's own geometry for qA's shape.
+    """
+    from .mvm import _mode, _pick_geometry
+    mode = "4x4" if qA.bits == 4 else "8x8"
+    tm, tk = _pick_geometry(qA.rows_pad, qA.cols_pad, mode)
+    ka = tk // 2 if qA.bits == 4 else tk
+    m_pad, ka_total = qA.codes.shape
+    call = _build_probe(m_pad, ka_total, tm, ka, pallas_interpret())
+
+    def make(iters):
+        @jax.jit
+        def g(codes):
+            def body(i, carry):
+                c, s = carry
+                c = c.at[0, 0].add(jnp.int8(1)
+                                   + (s * 1e-30).astype(jnp.int8))
+                o = call(c)
+                return (c, s + o[0, 0, 0] * 1e-30)
+            _, s = jax.lax.fori_loop(0, iters, body,
+                                     (codes, jnp.float32(0)))
+            return s
+        return lambda: float(g(qA.codes))
+    return make, qA.codes.nbytes

@@ -74,6 +74,24 @@ def mat_get(q, i: int, j: int) -> float:
     return float(code * (s / qm))
 
 
+def vec_gather(q, idx: jax.Array) -> jax.Array:
+    """Dequantized values at ``idx`` (int array) — the vectorized,
+    jit-friendly form of :func:`vec_get` (the reference benches
+    per-element vector get, test/performance/00_test.cpp:272-288; on TPU
+    the idiomatic bulk form is one gather)."""
+    if isinstance(q, (QVec16, QVec32)):
+        return q.values[idx].astype(jnp.float32)
+    qm = 7.0 if q.bits == 4 else 127.0
+    s = q.scales[idx // BLOCK] / qm
+    if isinstance(q, QVec8):
+        return q.codes[idx].astype(jnp.float32) * s
+    b, j = idx // BLOCK, idx % BLOCK
+    byte = q.codes[b * HALF + (j % HALF)].astype(jnp.int32)
+    code = jnp.where(j >= HALF, byte >> 4,
+                     jnp.bitwise_and(byte, 15) - 8)
+    return code.astype(jnp.float32) * s
+
+
 # ---------------------------------------------------------------------------
 # Reproducible random data generation (the setRandom* parity, driven by the
 # XORShift128+ module so data streams match across the NumPy/JAX/C++

@@ -96,6 +96,29 @@ def mvm_batched(A, xs, key=None, use_kernel: bool | None = None):
     return jax.vmap(one)(xs, keys)
 
 
+def mvm_batched_f32(A, xs) -> jax.Array:
+    """f32[b, m_pad] batched MVM, no output requantization — the batched
+    analog of ops.mvm.mvm_f32 (the sharded path psums this before the
+    band requant)."""
+    return jax.vmap(lambda x: mvm_f32(A, x))(xs)
+
+
+def mvm_batched_f32_fast(A, xs) -> jax.Array:
+    """Like :func:`mvm_batched_f32` but dispatched to the fused batched
+    kernel's f32-output mode on TPU (kernels/mvm_batched.py) — the
+    per-shard hot path of parallel/ops.mvm_batched_psum."""
+    from ..kernels import pallas_enabled
+    from ..kernels.mvm import _mode
+    from ..kernels.mvm_batched import (
+        mvm_batched_pallas_eligible, mvm_batched_pallas_f32)
+    leaf = jax.tree_util.tree_leaves(xs)[0]
+    mode = _mode(A, xs)
+    if (pallas_enabled()
+            and mvm_batched_pallas_eligible(A, leaf.shape, mode)):
+        return mvm_batched_pallas_f32(A, xs)
+    return mvm_batched_f32(A, xs)
+
+
 def gemm_f32(A, B: jax.Array) -> jax.Array:
     """C = restore(A) @ B with B f32[n, r]; f32[m_pad, r] out.
 

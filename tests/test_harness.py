@@ -37,6 +37,29 @@ def test_search_problem_probe_and_iterations():
     assert 0 <= it <= 30
 
 
+@pytest.mark.parametrize("mat_bits,vec_bits",
+                         [(4, 8), (8, 8), (16, 16), (32, 32)])
+def test_search_problem_all_precisions(mat_bits, vec_bits):
+    """The per-precision columns of the reference's -g
+    (00_search.cpp:229-238) need SearchProblem at every precision."""
+    phi, x_star, y = problems.make_iht_problem(128, 256, 16)
+    prob = SearchProblem(phi, y, x_star, mat_bits, vec_bits, k=16,
+                         iteration_limit=20)
+    r = prob.probe(3e-3)
+    assert r.convergent and np.isfinite(r.quality)
+    it = prob.iterations_to(3e-3, quality_target=r.quality / 0.98)
+    assert 0 <= it <= 20
+
+
+def test_gd_find_best_n_iterations():
+    phi, x_star, y = problems.make_gd_problem(96, 64)
+    prob = SearchProblem(phi, y, x_star, 8, 8, k=0, iteration_limit=25)
+    q, mu = search.gd_best_possible_quality(prob, 0.1, 0.5, 0.1)
+    it, mu_b = search.gd_find_best_n_iterations(
+        prob, q / 0.9, lo=0.1, hi=0.5, precision=0.1)
+    assert 0 <= it <= 25 and 0.1 <= mu_b <= 0.5
+
+
 def test_iht_best_quality_small():
     phi, x_star, y = problems.make_iht_problem(128, 256, 16)
     prob = SearchProblem(phi, y, x_star, 4, 4, k=16, iteration_limit=30)

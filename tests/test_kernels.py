@@ -185,6 +185,28 @@ def test_mvm_batched_kernel(rng, bits_a, bits_x, b):
         assert np.all(np.abs(got_v - want_v) <= lsb * (1 + 1e-3))
 
 
+@pytest.mark.parametrize("bits_a,bits_x", CONFIGS)
+def test_mvm_batched_f32_kernel(rng, bits_a, bits_x):
+    """The batched kernel's f32-output mode (no requant — the sharded
+    path's per-shard building block) matches the XLA batched f32 MVM."""
+    from clover_tpu.kernels.mvm_batched import (
+        mvm_batched_pallas_eligible, mvm_batched_pallas_f32)
+    from clover_tpu.ops.gemm import mvm_batched_f32
+    m, n, b = 256, 512, 4
+    A = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+    qA = ct.quantize(jnp.asarray(A), bits_a, key=None)
+    vecs = [ct.quantize(jnp.asarray(rng.random(n, dtype=np.float32) * 2
+                                    - 1), bits_x, key=None)
+            for _ in range(b)]
+    xs = jax.tree.map(lambda *a: jnp.stack(a), *vecs)
+    assert mvm_batched_pallas_eligible(qA, (b,), f"{bits_a}x{bits_x}")
+    got = np.asarray(mvm_batched_pallas_f32(qA, xs))
+    want = np.asarray(mvm_batched_f32(qA, xs))
+    assert got.shape == want.shape == (b, m)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="pltpu PRNG has no interpret-mode implementation")
 def test_mvm_batched_sr_statistics(rng):

@@ -83,6 +83,21 @@ def test_element_access_roundtrip(rng):
         assert abs(mat_get(qA, i, j) - ra[i, j]) < 1e-6
 
 
+def test_vec_gather_matches_restore(rng):
+    """Vectorized element gather (ops.access.vec_gather) equals the
+    restored values at the gathered indices, every precision."""
+    from clover_tpu.ops.access import vec_gather
+    n = 512
+    x = (rng.random(n, dtype=np.float32) * 2 - 1)
+    idx = jnp.asarray(rng.integers(0, n, 64), jnp.int32)
+    for bits in (4, 8, 16, 32):
+        q = ct.quantize(jnp.asarray(x), bits)
+        restored = np.asarray(ct.restore(q).values)
+        got = np.asarray(jax.jit(vec_gather)(q, idx))
+        np.testing.assert_allclose(got, restored[np.asarray(idx)],
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_random_generators_reproducible():
     a = np.asarray(random_floats(5, 7, 100))
     b = np.asarray(random_floats(5, 7, 100))

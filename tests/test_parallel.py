@@ -169,6 +169,134 @@ def test_mvm_psum_exact_cross_check(mesh):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("chunks", [1, 3, 4])
+def test_mvm_psum_overlapped_exact(mesh, chunks):
+    """The chunked-k psum-overlap variant (parallel/ops.py
+    mvm_psum_overlapped) must match the exact integer MVM bit-for-bit for
+    any chunking, including uneven 64-block splits (VERDICT r2 #6)."""
+    from jax.sharding import PartitionSpec as P
+    from clover_tpu.formats import QMat4, QVec4
+    from clover_tpu.parallel.solvers import _shard_map
+    from clover_tpu.parallel.ops import mvm_psum_overlapped
+
+    qA, qx, want = _integer_mvm_problem()
+    m, n = qA.rows, qA.cols
+
+    def local(ac, asc, xc, xsc):
+        A_l = QMat4(codes=ac, scales=asc, rows=m // 2, cols=n // 4)
+        x_l = QVec4(codes=xc, scales=xsc, length=n // 4)
+        y = mvm_psum_overlapped(A_l, x_l, "col", None, 32, "row",
+                                chunks=chunks)
+        return y.values
+
+    fn = _shard_map(local, mesh,
+                    (P("row", "col"), P("row", "col"), P("col"), P("col")),
+                    P("row"))
+    qAs = shard_matrix(qA, mesh)
+    qxs = shard_vector(qx, mesh, "col")
+    got = np.asarray(jax.jit(fn)(qAs.codes, qAs.scales,
+                                 qxs.codes, qxs.scales))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mvm_psum_overlapped_requant_matches(mesh):
+    """With a quantized output precision, the overlapped variant's requant
+    must see the fully reduced values: on the exact integer problem the
+    4-bit output codes/scales equal mvm_psum's bit-for-bit."""
+    from jax.sharding import PartitionSpec as P
+    from clover_tpu.formats import QMat4, QVec4
+    from clover_tpu.parallel.solvers import _shard_map
+    from clover_tpu.parallel.ops import mvm_psum, mvm_psum_overlapped
+
+    qA, qx, _ = _integer_mvm_problem()
+    m, n = qA.rows, qA.cols
+
+    def run(fn_inner):
+        def local(ac, asc, xc, xsc):
+            A_l = QMat4(codes=ac, scales=asc, rows=m // 2, cols=n // 4)
+            x_l = QVec4(codes=xc, scales=xsc, length=n // 4)
+            y = fn_inner(A_l, x_l)
+            return y.codes, y.scales
+        fn = _shard_map(local, mesh,
+                        (P("row", "col"), P("row", "col"), P("col"),
+                         P("col")), (P("row"), P("row")))
+        qAs = shard_matrix(qA, mesh)
+        qxs = shard_vector(qx, mesh, "col")
+        c, s = jax.jit(fn)(qAs.codes, qAs.scales, qxs.codes, qxs.scales)
+        return np.asarray(c), np.asarray(s)
+
+    c1, s1 = run(lambda A, x: mvm_psum(A, x, "col", None, 4, "row"))
+    c2, s2 = run(lambda A, x: mvm_psum_overlapped(A, x, "col", None, 4,
+                                                  "row", chunks=4))
+    np.testing.assert_array_equal(c2, c1)
+    np.testing.assert_array_equal(s2, s1)
+
+
+def _integer_iteration_problem(m, n, mat_bits, vec_bits, seed=11):
+    """A problem where the FULL first IHT iteration is exact in any
+    reduction order: Phi integer-coded with scales = qmax (restored ==
+    codes), y integer-coded with a +/-qmax planted per 64-block so its
+    requantization through scale_and_add is lossless, x0 = 0.  Then
+    t1 = 0 (exact), t2 == y bit-for-bit, the second MVM's psum terms are
+    integers < 2^24, and every later step is deterministic elementwise
+    math on bit-identical inputs — so the sharded iteration must equal
+    the single-device one BIT-FOR-BIT (codes and scales), extending the
+    mvm_psum integer trick (above) to the AXPY and threshold legs."""
+    from clover_tpu.formats import QMat4, QMat8, QVec4, QVec8, pack_nibbles
+
+    rng = np.random.default_rng(seed)
+    qa = 7 if mat_bits == 4 else 127
+    qv = 7 if vec_bits == 4 else 127
+    ac = rng.integers(-qa, qa + 1, (m, n)).astype(np.int8)
+    yc = rng.integers(-qv, qv + 1, m).astype(np.int8)
+    yc[::64] = qv                      # plant the per-block absmax
+    if mat_bits == 4:
+        qA = QMat4(codes=pack_nibbles(jnp.asarray(ac)),
+                   scales=jnp.full((m // 64, n // 64), 7.0, jnp.float32),
+                   rows=m, cols=n)
+    else:
+        qA = QMat8(codes=jnp.asarray(ac),
+                   scales=jnp.full((m // 64, n // 64), 127.0, jnp.float32),
+                   rows=m, cols=n)
+    if vec_bits == 4:
+        qy = QVec4(codes=pack_nibbles(jnp.asarray(yc)),
+                   scales=jnp.full((m // 64,), 7.0, jnp.float32), length=m)
+    else:
+        qy = QVec8(codes=jnp.asarray(yc),
+                   scales=jnp.full((m // 64,), 127.0, jnp.float32), length=m)
+    return qA, qy
+
+
+def _unpacked(qv):
+    from clover_tpu.formats import QVec4, unpack_nibbles
+    if isinstance(qv, QVec4):
+        return np.asarray(unpack_nibbles(qv.codes))
+    return np.asarray(qv.codes)
+
+
+@pytest.mark.parametrize("bits", [4, "4x8"])
+def test_sharded_iteration_exact_cross_check(mesh, bits):
+    """One full sharded IHT iteration (MVM psum -> AXPY -> MVM psum ->
+    AXPY -> gathered threshold) bit-identical to the single-device
+    iteration on an exactness-by-construction problem (VERDICT r2 #10)."""
+    m, n, k = 512, 1024, 64
+    mat_bits, vec_bits = (4, 8) if bits == "4x8" else (4, 4)
+    qA, qy = _integer_iteration_problem(m, n, mat_bits, vec_bits)
+    qAt = transpose(qA)
+
+    single = iht_single(qA, qAt, qy, 1, k, 0.25, key=None)
+    shard = iht_sharded(shard_matrix(qA, mesh),
+                        shard_matrix(qAt, mesh, transposed=True),
+                        shard_vector(qy, mesh, "row"),
+                        1, k, 0.25, mesh, key=None)
+    np.testing.assert_array_equal(_unpacked(shard.x), _unpacked(single.x))
+    np.testing.assert_array_equal(np.asarray(shard.x.scales),
+                                  np.asarray(single.x.scales))
+    # the iteration must have produced a real K-sparse update, or the
+    # bit-equality above is vacuous
+    assert np.count_nonzero(_unpacked(single.x)) == k
+
+
 def test_mvm_psum_fused_kernel_interpret(mesh, monkeypatch):
     """Same exact cross-check with the fused Pallas kernel forced into
     the sharded loop (interpret mode on the CPU mesh): mvm_f32_fast

@@ -67,6 +67,48 @@ def test_server_sharded_matrix(rng):
         _assert_1lsb(got, ct.mvm(qA, v))
 
 
+def test_server_sharded_kernel_path(rng, monkeypatch):
+    """MVMServer(mesh=...) serves through the fused-kernel sharded path
+    (per-shard batched kernel in f32-output mode -> psum -> band requant,
+    parallel/ops.mvm_batched_psum) — forced into the interpret-mode
+    kernel on the CPU mesh — and matches both per-vector MVMs and the
+    GSPMD-fallback server (VERDICT r2 #9)."""
+    from clover_tpu.parallel import make_mesh, shard_matrix
+    monkeypatch.setenv("CLOVER_PALLAS", "1")
+    mesh = make_mesh(8)                                   # (2, 4)
+    m, n = 256, 1024
+    A = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+    qA = ct.quantize(jnp.asarray(A), 4)
+    qAs = shard_matrix(qA, mesh)
+    # the per-shard geometry must be batched-kernel-eligible or the test
+    # is vacuous (it would silently use the vmapped fallback)
+    from clover_tpu.kernels.mvm_batched import mvm_batched_pallas_eligible
+    from clover_tpu.formats import QMat4
+    A_local = QMat4(codes=qA.codes[:m // 2, :n // 8],
+                    scales=qA.scales[:m // 128, :n // 256],
+                    rows=m // 2, cols=n // 4)
+    assert mvm_batched_pallas_eligible(A_local, (4,), "4x4")
+
+    vecs = [ct.quantize(jnp.asarray(
+        rng.random(n, dtype=np.float32) * 2 - 1), 4) for _ in range(6)]
+    server = MVMServer(qAs, max_batch=4, max_wait_s=0.05, mesh=mesh)
+    try:
+        results = [f.result(timeout=300)
+                   for f in [server.submit(v) for v in vecs]]
+    finally:
+        server.close()
+    monkeypatch.setenv("CLOVER_PALLAS", "0")
+    fallback = MVMServer(qAs, max_batch=4, max_wait_s=0.05)
+    try:
+        ref_results = [f.result(timeout=300)
+                       for f in [fallback.submit(v) for v in vecs]]
+    finally:
+        fallback.close()
+    for v, got, ref in zip(vecs, results, ref_results):
+        _assert_1lsb(got, ct.mvm(qA, v))
+        _assert_1lsb(got, ref)
+
+
 def test_server_error_propagates(rng):
     qA = ct.quantize(jnp.asarray(rng.random((128, 128), np.float32)), 4)
     server = MVMServer(qA, max_batch=2)
