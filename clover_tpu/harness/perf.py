@@ -234,7 +234,7 @@ def bench_axpy(log, sizes=VEC_SIZES):
         t32 = chain_time(make32) / p
         _row(log, f"scaleAndAdd 32-bit n={n}", 12 * n, t32)
 
-        for bits in (4, 8, 16):
+        for bits in (4, 8):
             qx, qy = ct.quantize(x, bits), ct.quantize(y, bits)
 
             def make(iters):
@@ -243,12 +243,35 @@ def bench_axpy(log, sizes=VEC_SIZES):
                     def body(i, u):
                         return ct.scale_and_add(u, v, -0.5)
                     out = jax.lax.fori_loop(0, iters, body, u)
-                    return jnp.sum(out.scales if bits != 16 else
-                                   out.values[:8].astype(jnp.float32))
+                    return jnp.sum(out.scales)
                 return lambda: float(g(qx, qy))
             dt = chain_time(make)
             _row(log, f"scaleAndAdd {bits:2d}-bit n={n}", 3 * qx.nbytes,
                  dt, t32)
+
+        # fp16 scaleAndAdd (reference: 00_test.cpp:372-392).  A single
+        # n-length fp16 pair stays VMEM-resident across loop steps (a
+        # first cut measured 4.7 TB/s), so use the >= 512 MB whole-ring
+        # protocol like the fp32 baseline; iterated u -= 0.5 v drifts
+        # |u| to ~0.5*iters — well inside fp16 range at these chain
+        # lengths.  Per-op time and bytes are the ring's / p16.
+        p16 = _slots(2 * n)
+        q16x = ct.quantize(jax.random.uniform(
+            jax.random.PRNGKey(9), (p16 * n,), minval=-1.0, maxval=1.0), 16)
+        q16y = ct.quantize(jax.random.uniform(
+            jax.random.PRNGKey(10), (p16 * n,), minval=-1.0, maxval=1.0), 16)
+
+        def make16(iters):
+            @jax.jit
+            def g(u, v):
+                def body(i, u):
+                    return ct.scale_and_add(u, v, -0.5)
+                out = jax.lax.fori_loop(0, iters, body, u)
+                return jnp.sum(out.values[:8].astype(jnp.float32))
+            return lambda: float(g(q16x, q16y))
+        dt = chain_time(make16) / p16
+        _row(log, f"scaleAndAdd 16-bit n={n}", 3 * q16x.nbytes // p16,
+             dt, t32)
 
 
 def bench_dot(log, sizes=VEC_SIZES):
@@ -292,7 +315,34 @@ def bench_dot(log, sizes=VEC_SIZES):
         for bits in (4, 8):
             qu, qv = ct.quantize(u, bits), ct.quantize(v, bits)
 
+            from ..kernels import pallas_enabled
+            from ..kernels.dot import dot_pallas_eligible
+            kernel_path = (bits in (4, 8) and pallas_enabled()
+                           and dot_pallas_eligible(qu, qv))
+
             def make(iters):
+                if kernel_path:
+                    # pallas path: a scales-only perturbation re-runs the
+                    # OPAQUE kernel whole (codes DMA included) with no
+                    # extra traffic.  The r2 protocol carried the codes
+                    # with an in-place .at[0].add — but XLA cannot alias
+                    # a loop carry into a pallas operand, so every step
+                    # paid a full codes copy (measured: 239 vs 137 us at
+                    # 8-bit n=2^25 — the entire "cliff" of r2's table;
+                    # doc/results/dot_notes_r3.md).
+                    @jax.jit
+                    def g(qu, qv):
+                        def body(i, s):
+                            qu2 = type(qu)(codes=qu.codes,
+                                           scales=qu.scales + s * 1e-37,
+                                           length=qu.length)
+                            return s + ct.dot(qu2, qv)
+                        return jax.lax.fori_loop(0, iters, body,
+                                                 jnp.float32(0))
+                    return lambda: float(g(qu, qv))
+
+                # XLA path: scales-only would let XLA hoist the integer
+                # dot out of the loop; keep the carried codes form
                 @jax.jit
                 def g(qu, qv):
                     def body(i, carry):
@@ -311,24 +361,33 @@ def bench_dot(log, sizes=VEC_SIZES):
             _row(log, f"dot {bits:2d}-bit n={n}", 2 * qu.nbytes, dt, t32)
 
         # 16-bit dot (reference: 00_test.cpp:296-316 benches all four
-        # precisions; fp16 here is the XLA convert-and-MXU path)
-        q16u, q16v = ct.quantize(u, 16), ct.quantize(v, 16)
+        # precisions; fp16 here is the XLA convert-and-MXU path).  A
+        # single n-length fp16 pair fits VMEM-resident across loop steps
+        # (a first cut measured 2.8 TB/s "bandwidth" at n=2^24 —
+        # meaningless vs an HBM roofline), so this uses the same
+        # >= 512 MB whole-ring pair as the fp32 baseline; per-op time
+        # and bytes are the ring's / p16.
+        p16 = _slots(4 * n)
+        q16u = ct.quantize(jax.random.uniform(
+            jax.random.PRNGKey(7), (p16 * n,), minval=-1.0, maxval=1.0), 16)
+        q16v = ct.quantize(jax.random.uniform(
+            jax.random.PRNGKey(8), (p16 * n,), minval=-1.0, maxval=1.0), 16)
 
         def make16(iters):
             @jax.jit
-            def g(qu, qv):
+            def g(vals, qv):
                 def body(i, carry):
                     vals, s = carry
+                    vals = vals.at[0].add((s * 1e-30).astype(jnp.float16)
+                                          + jnp.float16(1e-6))
                     qu2 = type(q16u)(values=vals, length=q16u.length)
-                    d = ct.dot(qu2, qv)
-                    return (vals.at[0].add((d * 1e-30).astype(jnp.float16)
-                                           + jnp.float16(1e-6)), s + d)
+                    return (vals, s + ct.dot(qu2, qv))
                 _, s = jax.lax.fori_loop(0, iters, body,
-                                         (qu.values, jnp.float32(0)))
+                                         (vals, jnp.float32(0)))
                 return s
-            return lambda: float(g(q16u, q16v))
-        dt = chain_time(make16)
-        _row(log, f"dot 16-bit n={n}", 2 * q16u.nbytes, dt, t32)
+            return lambda: float(g(q16u.values, q16v))
+        dt = chain_time(make16) / p16
+        _row(log, f"dot 16-bit n={n}", 2 * q16u.nbytes // p16, dt, t32)
 
 
 def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):

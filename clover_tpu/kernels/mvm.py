@@ -475,14 +475,16 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
                          memory_space=pltpu.VMEM),
         ]
 
-    # Ablation hook (doc/results/mvm_dossier_r3.md): the row-grid
-    # dimension is parallel-safe (each i owns its output tile; only the
-    # k dimension carries the accumulator), so its semantics can be
-    # swept on the FULL kernel.  Default "arbitrary" — measured equal to
-    # "parallel" within noise; the env override exists so the sweep is
-    # reproducible without editing this file.
+    # Row-grid dimension semantics: each i owns its output tile (only
+    # the k dimension carries the accumulator), so the row grid is
+    # parallel-safe.  Declaring it "parallel" measured faster on the
+    # full kernel at both sizes (v5e, doc/results/mvm_dossier_r3.md:
+    # 199.6 vs 202.3 us at n=16K, 738.1 vs 756.6 us at n=32K) — round 2
+    # had swept semantics only on DMA-only probes, where it made no
+    # difference.  Outputs are bit-identical (verified on the real
+    # chip).  The env override keeps the sweep reproducible.
     import os as _os
-    row_sem = _os.environ.get("CLOVER_MVM_ROW_SEMANTICS", "arbitrary")
+    row_sem = _os.environ.get("CLOVER_MVM_ROW_SEMANTICS", "parallel")
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

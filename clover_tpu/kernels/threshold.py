@@ -53,20 +53,24 @@ GPR = 4                          # 4-bit blocks (32-lane groups) per row
 MAX_ROWS4 = 512                  # 4-bit cap: n = 2^17
 
 
-def _bisect9(count_gt, k: int, hi0):
-    """k-th-largest bit pattern via 9-way bisection: eight INDEPENDENT
+def _bisect9(count_gt, k: int, hi0, fan: int | None = None):
+    """k-th-largest bit pattern via fan-way bisection: fan-1 INDEPENDENT
     pivot counts per level (Mosaic pipelines them — each cross-lane
     reduce is ~us latency, so sequential depth, not throughput, is the
-    cost).  12 levels over the max-seeded positive range: each level
-    leaves width floor(w/9) plus up to 8 of remainder slack, so
-    w_L <= 2^31/9^L + 9 — 10 levels can leave a ~10-wide bracket and
-    two unit-step levels resolve it exactly (see ops/threshold.py
-    _tau_bisect; a 10-level version kept k-1 elements on adjacent bit
-    patterns)."""
+    cost).  Depth per ops.threshold._bisect_levels over the max-seeded
+    positive range (fan=9 -> 12 levels: each level leaves width
+    floor(w/9) plus up to 8 of remainder slack, so w_L <= 2^31/9^L + 9 —
+    10 levels can leave a ~10-wide bracket and two unit-step levels
+    resolve it exactly; a 10-level version kept k-1 elements on adjacent
+    bit patterns).  The fan defaults to ops.threshold.BISECT_FAN so the
+    kernel and XLA paths sweep together."""
+    from ..ops.threshold import BISECT_FAN, _bisect_levels
+    fan = BISECT_FAN if fan is None else fan
+
     def body(_, lohi):
         lo_, hi_ = lohi
-        step = jnp.maximum((hi_ - lo_) // 9, 1)
-        mids = [jnp.minimum(lo_ + step * j, hi_) for j in range(1, 9)]
+        step = jnp.maximum((hi_ - lo_) // fan, 1)
+        mids = [jnp.minimum(lo_ + step * j, hi_) for j in range(1, fan)]
         cjs = [count_gt(m) for m in mids]
         lo2, hi2 = lo_, hi_
         for m, c in zip(mids, cjs):
@@ -75,7 +79,8 @@ def _bisect9(count_gt, k: int, hi0):
             hi2 = jnp.minimum(hi2, jnp.where(ge, hi_, m))
         return lo2, hi2
 
-    _, tau = jax.lax.fori_loop(0, 12, body, (jnp.int32(-1), hi0))
+    _, tau = jax.lax.fori_loop(0, _bisect_levels(fan), body,
+                               (jnp.int32(-1), hi0))
     return tau
 
 

@@ -54,27 +54,42 @@ def _top_k_idx(vals: jax.Array, k: int) -> jax.Array:
     return gidx[sel]
 
 
-def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
+# Bisection fan-out (pivots per level + 1).  Sequential DEPTH is what
+# matters — each level's count pass is throughput-cheap but its
+# cross-lane reduce is ~us latency — so a wider fan with fewer levels
+# should win as long as the wider compare stays throughput-cheap.
+# Module-level so the ablation harness can sweep it
+# (doc/results/run_threshold_ablation_r3.py); _bisect_levels derives the
+# guaranteed-exact depth for any fan.
+BISECT_FAN = 9
+
+
+def _bisect_levels(fan: int) -> int:
+    """Levels guaranteeing exact resolution over the int32 bit range:
+    each level leaves width <= floor(w/fan) + fan (remainder slack), so
+    after ceil(log_fan(2^32)) levels the bracket is <= ~fan+1 wide; one
+    step==1 level then covers fan-1 consecutive integers and one more
+    resolves the remainder.  fan=9 -> 12 (the round-2 constant, verified
+    by tests/test_ops.py::test_threshold_adjacent_bit_ties), fan=81 -> 7."""
+    import math
+    return math.ceil(math.log(2.0 ** 32) / math.log(fan)) + 2
+
+
+def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int,
+                fan: int | None = None):
     """(tau_bits, n_above, n_eq): the bit pattern of the k-th largest
     element of the weighted candidate multiset (cand >= 0, f32), the
     count strictly above it, and the tie multiplicity at it.
 
-    9-way bisection on the non-negative-float bit ordering — TPU sorts
-    cost ~1 ms at 10^5 elements.  Each level evaluates EIGHT pivots at
-    once (broadcast compare, independent reduces): the count passes are
-    throughput-cheap but their cross-lane reduces are ~us-latency each,
-    so sequential DEPTH is what matters.  The range is seeded with the
-    multiset max; TWELVE levels are needed, not log9(2^31) = 10: each
-    level leaves width floor(w/9) + (up to 8 of remainder slack between
-    the last pivot and hi), so w_L <= 2^31/9^L + 9 — after 10 levels the
-    bracket can still be ~10 wide, and two more unit-step levels (step
-    clamps to 1, pivots cover every integer) resolve it exactly.  A
-    10-level version kept k-1 elements on adjacent bit patterns
-    (tests/test_ops.py::test_threshold_adjacent_bit_ties).  If the
-    multiset has fewer than k entries the result degenerates to
-    tau_bits = 0 / keep-everything, which is correct for thresholding
-    (only zero codes are added to the kept set).  cand/counts may be
-    any (equal) shape; they are reduced over all axes."""
+    fan-way bisection on the non-negative-float bit ordering — TPU sorts
+    cost ~1 ms at 10^5 elements.  Each level evaluates fan-1 pivots at
+    once (broadcast compare, independent reduces); depth per
+    _bisect_levels.  If the multiset has fewer than k entries the result
+    degenerates to tau_bits = 0 / keep-everything, which is correct for
+    thresholding (only zero codes are added to the kept set).
+    cand/counts may be any (equal) shape; they are reduced over all
+    axes."""
+    fan = BISECT_FAN if fan is None else fan
     bits = jax.lax.bitcast_convert_type(cand, jnp.int32)
     counts = counts.astype(jnp.int32)
     # materialize BEFORE the loop: without the barrier XLA fuses the
@@ -82,16 +97,16 @@ def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
     # on every bisection step (measured 30x slowdown)
     bits, counts = jax.lax.optimization_barrier((bits, counts))
     axes = tuple(range(1, bits.ndim + 1))
-    j8 = jnp.arange(1, 9, dtype=jnp.int32)
+    jf = jnp.arange(1, fan, dtype=jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi
-        # evenly-stepped pivots in (lo, hi]; step*j8 cannot overflow
-        # (step <= (hi-lo)/9) and max(step,1) guarantees progress at
+        # evenly-stepped pivots in (lo, hi]; step*jf cannot overflow
+        # (step <= (hi-lo)/fan) and max(step,1) guarantees progress at
         # small widths, where the clamp to hi keeps pivots in range
-        step = jnp.maximum((hi - lo) // 9, 1)
-        mids = jnp.minimum(lo + step * j8, hi)           # (8,)
-        m8 = mids.reshape((8,) + (1,) * bits.ndim)
+        step = jnp.maximum((hi - lo) // fan, 1)
+        mids = jnp.minimum(lo + step * jf, hi)           # (fan-1,)
+        m8 = mids.reshape((fan - 1,) + (1,) * bits.ndim)
         cj = jnp.sum(jnp.where(bits[None] > m8, counts[None], 0),
                      axis=axes)
         ge = cj >= k
@@ -101,7 +116,7 @@ def _tau_bisect(cand: jax.Array, counts: jax.Array, k: int):
 
     lo0 = jnp.int32(-1)
     hi0 = jnp.max(bits)          # k >= 1 => k-th largest <= multiset max
-    _, tau = jax.lax.fori_loop(0, 12, body, (lo0, hi0))
+    _, tau = jax.lax.fori_loop(0, _bisect_levels(fan), body, (lo0, hi0))
     n_above = jnp.sum(jnp.where(bits > tau, counts, 0))
     n_eq = jnp.sum(jnp.where(bits == tau, counts, 0))
     return tau, n_above, n_eq

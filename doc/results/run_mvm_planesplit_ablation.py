@@ -161,7 +161,9 @@ def main():
           f"plane-split {ahi.nbytes*2/1e6:.0f} MB", flush=True)
 
     results = {}
-    for tk in (8192, 4096):
+    # tk=8192 only: tk=4096 gives nb=64 with gk=4, which violates the
+    # flat-scales legality this harness asserts (nb % 128 == 0 or gk == 1)
+    for tk in (8192,):
         call, tm, tk = build_split_call(qA.rows_pad, qA.cols_pad, 1024, tk)
         step = lambda qA, pl_, x: mvm_split(call, tm, tk, qA, pl_[0],
                                             pl_[1], x)

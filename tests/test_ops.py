@@ -152,9 +152,11 @@ def test_threshold_adjacent_bit_ties(rng):
         assert np.count_nonzero(out) == k
 
 
-def test_bisect_helpers_adversarial():
+@pytest.mark.parametrize("fan", [9, 27, 81, 243])
+def test_bisect_helpers_adversarial(fan):
     """Both bisectors (ops._tau_bisect and the in-kernel _bisect9) find
-    the exact k-th largest on adversarial adjacent-integer multisets."""
+    the exact k-th largest on adversarial adjacent-integer multisets, at
+    every sweepable fan-out (_bisect_levels guarantees the depth)."""
     from clover_tpu.ops.threshold import _tau_bisect
     from clover_tpu.kernels.threshold import _bisect9
     loc = np.random.default_rng(3)
@@ -166,7 +168,7 @@ def test_bisect_helpers_adversarial():
         k = int(loc.integers(1, int(cnts.sum()) + 1))
         bits = jnp.asarray(vals)
         fvals = jax.lax.bitcast_convert_type(bits, jnp.float32)
-        tau, n_above, n_eq = _tau_bisect(fvals, jnp.asarray(cnts), k)
+        tau, n_above, n_eq = _tau_bisect(fvals, jnp.asarray(cnts), k, fan=fan)
         tau = int(tau)
         srt = np.repeat(vals, cnts)[np.argsort(-np.repeat(vals, cnts))]
         want = int(srt[k - 1])
@@ -175,7 +177,7 @@ def test_bisect_helpers_adversarial():
 
         def count_gt(t):
             return jnp.sum(jnp.where(bits > t, jnp.asarray(cnts), 0))
-        tau2 = int(_bisect9(count_gt, k, jnp.max(bits)))
+        tau2 = int(_bisect9(count_gt, k, jnp.max(bits), fan=fan))
         assert tau2 == want, (tau2, want, k)
 
 
