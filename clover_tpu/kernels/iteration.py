@@ -1,0 +1,337 @@
+"""Whole-iteration fused IHT/GD kernel: both solver legs in ONE launch.
+
+The solver iteration (models/solvers.py, reference loop
+test/accuracy/02_iht_accuracy.h:79-95) is
+
+    t2 = Q(y + (-1) * Q(Phi  @ x))      # leg A (fused MVM+AXPY)
+    x' = Q(x +  mu  * Q(PhiT @ t2))     # leg B (fused MVM+AXPY)
+
+Round 3's corrected floor probes (doc/results/iht_small_r3.md) showed
+the small-problem regime is NOT launch-latency-bound (launch = 0.6 us,
+small-tile stream = 740-780 GB/s): each leg pays a per-launch pipeline
+ramp (the first tile's DMA overlaps nothing) plus per-launch in-kernel
+prep, and the two-launch iteration adds inter-launch scheduling on top.
+This kernel runs the WHOLE iteration as one pallas grid of gA + gB row
+tiles: phase A (steps 0..gA-1) streams Phi and writes the requantized
+t2 codes/scales into VMEM scratch — never to HBM; phase B (steps
+gA..gA+gB-1) streams PhiT against weights built from that scratch.  The
+ramp happens once (PhiT's first tile prefetches DURING phase A) and
+there is nothing between the legs for the scheduler to stall on.
+
+Numerics are BIT-IDENTICAL to the two-launch fused path
+(kernels/mvm.mvm_axpy_pallas twice): phase A writes exactly the bytes
+the first launch would have written to HBM, phase B consumes them
+exactly as the second launch would have, and the SR noise draws use the
+same per-op seeds and per-tile offsets (tests/test_kernels.py).
+
+Eligible when both legs are single-k-tile (TK == cols), i.e. m_pad and
+n_pad <= 8192 — precisely the latency regime; larger solves keep the
+two-launch path, which is stream-bound there.  Reference analog: none
+(the reference's iteration is five OpenMP fork-joins); this is the
+TPU-native answer to its small-N advantage (performance.txt:561-590).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import BLOCK, QMat4, QMat8, QVec4, QVec8
+from .dispatch import pallas_interpret, seed_from
+from .mvm import (HALF, QMAX, _band_sr, _block_diag, _mode, _pick_geometry,
+                  _unoise, _unpack_x4, _write_codes)
+
+_SCALE_CONST = {"4x4": 1.0 / (7.0 * 7.0 * 16.0),
+                "4x8": 1.0 / (7.0 * 127.0),
+                "8x8": 1.0 / (127.0 * 127.0)}
+
+
+def _build_weights(mode: str, codes, nb: int, whi, wlo_or_mix, cs):
+    """Fill a phase's weight caches from its vector codes (the same
+    constructions as the per-mode MVM kernels, kernels/mvm.py)."""
+    if mode == "4x4":
+        xhi, xlo = _unpack_x4(codes)
+        whi[:] = _block_diag(xhi, nb, HALF)
+        wlo_or_mix[:] = _block_diag(16 * xlo - xhi, nb, HALF)
+        cs[:] = jnp.sum(xlo, axis=1, keepdims=True).astype(jnp.float32).T
+    elif mode == "4x8":
+        xlo = codes[:, :HALF]
+        xhi = codes[:, HALF:]
+        whi[:] = _block_diag(xhi, nb, HALF)
+        wlo_or_mix[:] = _block_diag(xlo, nb, HALF)
+        cs[:] = jnp.sum(xlo.astype(jnp.int32), axis=1,
+                        keepdims=True).astype(jnp.float32).T
+    else:
+        whi[:] = _block_diag(codes, nb, BLOCK)
+
+
+def _compute_t(mode: str, p, whi, wlo_or_mix, cs):
+    """Exact blocked integer dot tile -> f32[tm, nb] (pre-scale-combine;
+    same expressions as kernels/mvm.py so outputs match bit-for-bit)."""
+    dn = (((1,), (0,)), ((), ()))
+    if mode == "4x4":
+        lou = jnp.bitwise_and(p, jnp.int8(0x0F))
+        mm1 = jax.lax.dot_general(p, whi[:], dn,
+                                  preferred_element_type=jnp.int32)
+        mm2 = jax.lax.dot_general(lou, wlo_or_mix[:], dn,
+                                  preferred_element_type=jnp.int32)
+        return (mm1 + mm2).astype(jnp.float32) - 128.0 * cs[:]
+    if mode == "4x8":
+        hi16 = jnp.bitwise_and(p, jnp.int8(-16))
+        lou = jnp.bitwise_and(p, jnp.int8(0x0F))
+        mm_h = jax.lax.dot_general(hi16, whi[:], dn,
+                                   preferred_element_type=jnp.int32)
+        mm_l = jax.lax.dot_general(lou, wlo_or_mix[:], dn,
+                                   preferred_element_type=jnp.int32)
+        hh = jax.lax.shift_right_arithmetic(mm_h, 4)
+        return (hh + mm_l).astype(jnp.float32) - 8.0 * cs[:]
+    mm = jax.lax.dot_general(p, whi[:], dn,
+                             preferred_element_type=jnp.int32)
+    return mm.astype(jnp.float32)
+
+
+def _decode_u(uc_ref, out_bits: int):
+    """u operand codes -> f32 code values (same as _requant_axpy_write)."""
+    if out_bits == 4:
+        p = uc_ref[0]
+        lo = jnp.bitwise_and(p, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
+        hi = jnp.bitwise_and(p, jnp.int8(-16)).astype(jnp.float32) / 16.0
+        return jnp.concatenate([lo, hi], axis=1)
+    return uc_ref[0].astype(jnp.float32)
+
+
+def _leg(mode, out_bits, p, whi, wmix, cs, asc, xs, uc_ref, us_ref,
+         acc_ref, alpha, seed_mvm, seed_axpy, noise, bands):
+    """One fused MVM+AXPY row tile: Q(u + alpha * Q((M v)_tile)).
+
+    Returns (q2, s2): integer-valued f32 codes (bands, 64) + scales
+    (bands, 1) — the caller writes them to HBM (phase B) or to the t2
+    scratch (phase A).
+
+    ``acc_ref`` is a (bands, 64, nb) VMEM scratch.  The scaled tile is
+    MATERIALIZED there before the band sum, exactly like the two-launch
+    kernel's k-accumulator (kernels/mvm.py): fusing the multiply into
+    the reduction contracts differently and moves y2 by ~1 ulp — which a
+    floor() boundary in the requant amplifies to a full quantization
+    step in t2 (measured: 10/32 t2 scales off by up to 15% at
+    2048x1024).  The materialization pins the fp result to the
+    two-launch path's bit-for-bit."""
+    qm = QMAX[out_bits]
+    t = _compute_t(mode, p, whi, wmix, cs)
+    combe = jnp.repeat(asc * xs * _SCALE_CONST[mode], BLOCK, axis=0)
+    acc_ref[:] = (t * combe).reshape(bands, BLOCK, -1)
+    y2 = jnp.sum(acc_ref[:], axis=2)
+    q1, s1 = _band_sr(y2, qm, _unoise(seed_mvm, y2.shape, noise[0]))
+    u_codes = _decode_u(uc_ref, out_bits)
+    # same expression shape as _requant_axpy_write / _axpy_kernel so the
+    # compiler contracts the dequant-fma identically everywhere
+    xv = u_codes * (us_ref[0] / qm) + alpha * (q1 * (s1 / qm))
+    return _band_sr(xv, qm, _unoise(seed_axpy, xv.shape, noise[1]))
+
+
+def _iter_kernel(seed_ref, mu_ref, aA_ref, xcA_ref, ascA_ref, xscA_ref,
+                 ucA_ref, usA_ref, aB_ref, ascB_ref, ucB_ref, usB_ref,
+                 oc_ref, os_ref, *scratch,
+                 mode, gA, nbA, nbB, bandsA, bandsB, out_bits, noise):
+    if mode == "8x8":
+        wAhi, wBhi, accA, accB, t2c, t2s = scratch
+        wAmix = wBmix = csA = csB = None
+    else:
+        wAhi, wAmix, csA, wBhi, wBmix, csB, accA, accB, t2c, t2s = scratch
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _build_weights(mode, xcA_ref[:], nbA, wAhi, wAmix, csA)
+
+    @pl.when(i < gA)
+    def _():
+        q2, s2 = _leg(mode, out_bits, aA_ref[:], wAhi, wAmix, csA,
+                      ascA_ref[:], xscA_ref[:], ucA_ref, usA_ref, accA,
+                      jnp.float32(-1.0), seed_ref[0] + i, seed_ref[1] + i,
+                      noise[:2], bandsA)
+        if out_bits == 4:
+            packed = (16.0 * q2[:, HALF:] + (q2[:, :HALF] + 8.0)
+                      ).astype(jnp.int8)
+        else:
+            packed = q2.astype(jnp.int8)
+        t2c[pl.ds(i * bandsA, bandsA)] = packed
+        t2s[pl.ds(i * bandsA, bandsA)] = s2
+
+    @pl.when(i == gA)
+    def _():
+        _build_weights(mode, t2c[:], nbB, wBhi, wBmix, csB)
+
+    @pl.when(i >= gA)
+    def _():
+        j = i - gA
+        q2, s2 = _leg(mode, out_bits, aB_ref[:], wBhi, wBmix, csB,
+                      ascB_ref[:], t2s[:].T, ucB_ref, usB_ref, accB,
+                      mu_ref[0], seed_ref[2] + j, seed_ref[3] + j,
+                      noise[2:], bandsB)
+        _write_codes(oc_ref, q2, out_bits)
+        os_ref[0] = s2
+
+
+def _geom(mode: str, m_pad: int, n_pad: int):
+    """Both legs' (tm, tk) if each is single-k-tile + flat-scales, else
+    None.  Leg A: (m_pad, n_pad); leg B: the transposed matrix."""
+    out = []
+    for (mp, np_) in ((m_pad, n_pad), (n_pad, m_pad)):
+        g = _pick_geometry(mp, np_, mode)
+        if g is None or g[1] != np_:
+            return None
+        tm = g[0]
+        if (tm // BLOCK) % 8 and mp // tm != 1:
+            return None                        # flat-scales condition
+        out.append(g)
+    return tuple(out)
+
+
+@lru_cache(maxsize=32)
+def _build_iter_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
+                     noise, interpret: bool):
+    (tmA, tkA), (tmB, tkB) = _geom(mode, m_pad, n_pad)
+    gA, gB = m_pad // tmA, n_pad // tmB
+    nbA, nbB = tkA // BLOCK, tkB // BLOCK
+    bandsA, bandsB = tmA // BLOCK, tmB // BLOCK
+    packed_mat = mode in ("4x4", "4x8")
+    kaA = tkA // 2 if packed_mat else tkA
+    kaB = tkB // 2 if packed_mat else tkB
+    wx = HALF if mode == "4x4" else BLOCK      # x codes tile width
+    pck = HALF if out_bits == 4 else BLOCK     # codes per 64-out block
+
+    def ia(i, *_):                             # leg-A row tile, clamped
+        return (jnp.minimum(i, gA - 1), 0)
+
+    def ib(i, *_):                             # leg-B row tile, clamped
+        return (jnp.clip(i - gA, 0, gB - 1), 0)
+
+    def ia3(i, *_):
+        return (jnp.minimum(i, gA - 1), 0, 0)
+
+    def ib3(i, *_):
+        return (jnp.clip(i - gA, 0, gB - 1), 0, 0)
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((tmA, kaA), ia, memory_space=vm),            # Phi
+        pl.BlockSpec((nbA, wx), lambda i, *_: (0, 0),
+                     memory_space=vm),                            # x codes
+        pl.BlockSpec((bandsA, nbA), ia, memory_space=vm),         # Phi sc
+        pl.BlockSpec((1, nbA), lambda i, *_: (0, 0),
+                     memory_space=vm),                            # x sc
+        pl.BlockSpec((1, bandsA, pck), ia3, memory_space=vm),     # y codes
+        pl.BlockSpec((1, bandsA, 1), ia3, memory_space=vm),       # y sc
+        pl.BlockSpec((tmB, kaB), ib, memory_space=vm),            # PhiT
+        pl.BlockSpec((bandsB, nbB), ib, memory_space=vm),         # PhiT sc
+        pl.BlockSpec((1, bandsB, pck), ib3, memory_space=vm),     # x codes(u)
+        pl.BlockSpec((1, bandsB, 1), ib3, memory_space=vm),       # x sc (u)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, bandsB, pck), ib3, memory_space=vm),
+        pl.BlockSpec((1, bandsB, 1), ib3, memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((gB, bandsB, pck), jnp.int8),
+        jax.ShapeDtypeStruct((gB, bandsB, 1), jnp.float32),
+    ]
+
+    t2c = pltpu.VMEM((nbB, pck), jnp.int8)
+    t2s = pltpu.VMEM((nbB, 1), jnp.float32)
+    accA = pltpu.VMEM((bandsA, BLOCK, nbA), jnp.float32)
+    accB = pltpu.VMEM((bandsB, BLOCK, nbB), jnp.float32)
+    if mode == "8x8":
+        scratch = [pltpu.VMEM((kaA, nbA), jnp.int8),
+                   pltpu.VMEM((kaB, nbB), jnp.int8), accA, accB, t2c, t2s]
+    else:
+        scratch = [pltpu.VMEM((kaA, nbA), jnp.int8),
+                   pltpu.VMEM((kaA, nbA), jnp.int8),
+                   pltpu.VMEM((1, nbA), jnp.float32),
+                   pltpu.VMEM((kaB, nbB), jnp.int8),
+                   pltpu.VMEM((kaB, nbB), jnp.int8),
+                   pltpu.VMEM((1, nbB), jnp.float32), accA, accB, t2c, t2s]
+
+    kernel = partial(_iter_kernel, mode=mode, gA=gA, nbA=nbA, nbB=nbB,
+                     bandsA=bandsA, bandsB=bandsB, out_bits=out_bits,
+                     noise=noise)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(gA + gB,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            # phase B reads phase A's scratch: the grid is sequential
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return call, (tmA, tkA), (tmB, tkB)
+
+
+def iteration_pallas_eligible(Phi, PhiT, y, x) -> bool:
+    import os
+    if os.environ.get("CLOVER_ITER_FUSED", "1") != "1":
+        return False
+    mode = _mode(Phi, x)
+    if mode is None or _mode(PhiT, y) != mode:
+        return False
+    # 4-bit matrix streams only: that is the latency-exposed case the
+    # fusion targets (run_iter_fused_bench_r3.py: 4x4/4x8 win up to
+    # 1.37x and never lose beyond drift; 8x8 is already stream-bound at
+    # its two-launch floor and measured 0.60x fused at 1024x2048 in the
+    # cleanest window).
+    if mode == "8x8":
+        return False
+    if not (isinstance(PhiT, type(Phi))
+            and PhiT.rows_pad == Phi.cols_pad
+            and PhiT.cols_pad == Phi.rows_pad):
+        return False
+    out_cls = QVec4 if mode == "4x4" else QVec8
+    if not (isinstance(y, out_cls) and isinstance(x, out_cls)
+            and y.length == Phi.rows and x.length == Phi.cols):
+        return False
+    return _geom(mode, Phi.rows_pad, Phi.cols_pad) is not None
+
+
+def iteration_pallas(Phi, PhiT, y, x, mu, seeds=(None,) * 4):
+    """x' = Q(x + mu * Q(PhiT @ Q(y - Q(Phi @ x)))) in ONE launch.
+
+    ``seeds``: the iteration's four per-op SR seeds (legA mvm/axpy,
+    legB mvm/axpy — models/solvers._op_seeds); None entries run that
+    requant deterministically.  Bit-identical to the two-launch
+    mvm_axpy_pallas sequence for the same seeds."""
+    mode = _mode(Phi, x)
+    out_bits = 4 if mode == "4x4" else 8
+    sn = [seed_from(k) for k in seeds]
+    seed4 = jnp.concatenate([s for s, _ in sn])
+    noise = tuple(n for _, n in sn)
+    call, (tmA, tkA), (tmB, tkB) = _build_iter_call(
+        mode, Phi.rows_pad, Phi.cols_pad, out_bits, noise,
+        pallas_interpret())
+    nbA, nbB = tkA // BLOCK, tkB // BLOCK
+    bandsA, bandsB = tmA // BLOCK, tmB // BLOCK
+    gA, gB = Phi.rows_pad // tmA, Phi.cols_pad // tmB
+    wx = HALF if mode == "4x4" else BLOCK
+    pck = HALF if out_bits == 4 else BLOCK
+
+    yc, ys = call(
+        seed4, jnp.asarray([mu], jnp.float32),
+        Phi.codes, x.codes.reshape(nbA, wx),
+        Phi.scales, x.scales.reshape(1, nbA),
+        y.codes.reshape(gA, bandsA, pck), y.scales.reshape(gA, bandsA, 1),
+        PhiT.codes, PhiT.scales,
+        x.codes.reshape(gB, bandsB, pck), x.scales.reshape(gB, bandsB, 1),
+    )
+    out_cls = QVec4 if out_bits == 4 else QVec8
+    return out_cls(codes=yc.reshape(-1), scales=ys.reshape(-1),
+                   length=Phi.cols)

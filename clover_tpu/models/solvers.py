@@ -72,9 +72,20 @@ def _iteration(Phi, PhiT, y, x, mu, k, seed):
     # Each MVM's scaleAndAdd rides the MVM kernel's epilogue (fused
     # MVM+AXPY, kernels/mvm.py): the quantized intermediates t1/t3 never
     # touch HBM and the iteration is two launches plus the threshold.
+    # In the small-problem regime (both legs single-k-tile, m/n <= 8192)
+    # the WHOLE iteration runs as ONE launch (kernels/iteration.py,
+    # bit-identical to the two-launch sequence) — round 3's floor probes
+    # showed per-launch ramp + inter-launch scheduling dominate there
+    # (doc/results/iht_small_r3.md).
     k1, k2, k3, k4 = _op_seeds(seed)
-    t2 = mvm_axpy(Phi, x, y, -1.0, key_mvm=k1, key_axpy=k2)   # y - Phi x
-    x = mvm_axpy(PhiT, t2, x, mu, key_mvm=k3, key_axpy=k4)    # x + mu Phi't2
+    from ..kernels.dispatch import pallas_enabled
+    from ..kernels.iteration import (iteration_pallas,
+                                     iteration_pallas_eligible)
+    if pallas_enabled() and iteration_pallas_eligible(Phi, PhiT, y, x):
+        x = iteration_pallas(Phi, PhiT, y, x, mu, (k1, k2, k3, k4))
+    else:
+        t2 = mvm_axpy(Phi, x, y, -1.0, key_mvm=k1, key_axpy=k2)  # y - Phi x
+        x = mvm_axpy(PhiT, t2, x, mu, key_mvm=k3, key_axpy=k4)   # x+mu Phi't2
     if k is not None:
         x = threshold(x, k)
     return x

@@ -399,3 +399,101 @@ def test_threshold8_kernel_matches_xla(rng, monkeypatch):
         want = np.asarray(restore_vec(thr(q, k)).values)
         monkeypatch.delenv("CLOVER_PALLAS")
         np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Whole-iteration fused kernel (kernels/iteration.py)
+# ---------------------------------------------------------------------------
+
+def _mk_iter_problem(rng, m, n, mb, vb):
+    from clover_tpu.formats import zeros_vector
+    Phi = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+    yv = Phi @ (rng.random(n, dtype=np.float32) * 2 - 1)
+    yv = yv / np.abs(yv).max()
+    xv = rng.random(n, dtype=np.float32) * 2 - 1
+    qPhi = ct.quantize(jnp.asarray(Phi), mb)
+    qPhiT = ct.transpose(qPhi)
+    qy = ct.quantize(jnp.asarray(yv), vb)
+    qx = ct.quantize(jnp.asarray(xv), vb)
+    return qPhi, qPhiT, qy, qx
+
+
+@pytest.mark.parametrize("mb,vb", [(4, 4), (4, 8)])
+@pytest.mark.parametrize("m,n", [(512, 1024), (1024, 512)])
+def test_iteration_kernel_bitexact(rng, mb, vb, m, n):
+    """One-launch whole-iteration kernel == the two-launch fused
+    sequence bit-for-bit (deterministic).  On the real TPU this holds
+    at EVERY eligible size and in SR mode (verified on-chip, round 3);
+    interpret mode on XLA:CPU lowers the phase bodies inside cond
+    regions with ~1-ulp different contraction at multi-row-tile sizes,
+    so the CPU suite asserts bitwise only where phases are single-tile
+    (multi-tile value parity: test_iteration_kernel_multitile)."""
+    from clover_tpu.kernels.iteration import (iteration_pallas,
+                                              iteration_pallas_eligible)
+    from clover_tpu.kernels.mvm import mvm_axpy_pallas
+    qPhi, qPhiT, qy, qx = _mk_iter_problem(rng, m, n, mb, vb)
+    assert iteration_pallas_eligible(qPhi, qPhiT, qy, qx)
+    mu = 1e-3
+    got = iteration_pallas(qPhi, qPhiT, qy, qx, mu)
+    t2 = mvm_axpy_pallas(qPhi, qx, qy, -1.0)
+    want = mvm_axpy_pallas(qPhiT, t2, qx, mu)
+    assert got.length == want.length == n
+    np.testing.assert_array_equal(np.asarray(got.codes),
+                                  np.asarray(want.codes))
+    np.testing.assert_array_equal(np.asarray(got.scales),
+                                  np.asarray(want.scales))
+
+
+def test_iteration_kernel_multitile(rng):
+    """Multi-row-tile phases (gA=2, gB=2): restored values within one
+    requant step of the two-launch path on CPU (bitwise on TPU — the
+    interpret-mode cond-context contraction moves y2 by 1 ulp, which a
+    floor() boundary can amplify to one quantization step)."""
+    from clover_tpu.kernels.iteration import (iteration_pallas,
+                                              iteration_pallas_eligible)
+    from clover_tpu.kernels.mvm import mvm_axpy_pallas
+    from clover_tpu.ops.quantize import restore_vec
+    qPhi, qPhiT, qy, qx = _mk_iter_problem(rng, 2048, 1024, 4, 4)
+    assert iteration_pallas_eligible(qPhi, qPhiT, qy, qx)
+    got = iteration_pallas(qPhi, qPhiT, qy, qx, 1e-3)
+    t2 = mvm_axpy_pallas(qPhi, qx, qy, -1.0)
+    want = mvm_axpy_pallas(qPhiT, t2, qx, 1e-3)
+    v1 = np.asarray(restore_vec(got).values)
+    v2 = np.asarray(restore_vec(want).values)
+    step = np.repeat(np.maximum(np.asarray(got.scales),
+                                np.asarray(want.scales)) / 7.0, 64)
+    assert np.all(np.abs(v1 - v2) <= 2 * step + 1e-6)
+
+
+def test_iteration_kernel_eligibility(rng):
+    """8x8 stays two-launch (stream-bound; fused measured slower); legs
+    with multiple k-tiles (n_pad > 8192) are ineligible; mismatched
+    container classes are rejected."""
+    from clover_tpu.kernels.iteration import iteration_pallas_eligible
+    qPhi, qPhiT, qy, qx = _mk_iter_problem(rng, 512, 1024, 8, 8)
+    assert not iteration_pallas_eligible(qPhi, qPhiT, qy, qx)
+    qPhi, qPhiT, qy, qx = _mk_iter_problem(rng, 512, 1024, 4, 4)
+    # wrong u class: y at 8-bit for a 4x4 iteration
+    qy8 = ct.quantize(jnp.asarray(rng.random(512, np.float32)), 8)
+    assert not iteration_pallas_eligible(qPhi, qPhiT, qy8, qx)
+
+
+def test_iteration_solver_dispatch(rng, monkeypatch):
+    """models/solvers._iteration routes through the fused whole-iteration
+    kernel when kernels are enabled and the problem is eligible, and the
+    result matches the explicit two-launch kernel sequence + threshold."""
+    from clover_tpu.kernels.iteration import iteration_pallas_eligible
+    from clover_tpu.kernels.mvm import mvm_axpy_pallas
+    from clover_tpu.models.solvers import _iteration
+    from clover_tpu.ops.threshold import threshold as thr
+    qPhi, qPhiT, qy, qx = _mk_iter_problem(rng, 512, 1024, 4, 4)
+    assert iteration_pallas_eligible(qPhi, qPhiT, qy, qx)
+    monkeypatch.setenv("CLOVER_PALLAS", "1")
+    got = _iteration(qPhi, qPhiT, qy, qx, jnp.float32(1e-3), 64, None)
+    t2 = mvm_axpy_pallas(qPhi, qx, qy, -1.0)
+    want = thr(mvm_axpy_pallas(qPhiT, t2, qx, 1e-3), 64)
+    monkeypatch.delenv("CLOVER_PALLAS")
+    np.testing.assert_array_equal(np.asarray(got.codes),
+                                  np.asarray(want.codes))
+    np.testing.assert_array_equal(np.asarray(got.scales),
+                                  np.asarray(want.scales))
