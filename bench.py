@@ -211,6 +211,17 @@ def main():
     iht_ips = bench_iht_iters_per_sec(qphi, qphit, qy, n_i // 4, 1e-4,
                                       jax.random.PRNGKey(0))
 
+    # small-size IHT (the whole-iteration fused kernel's regime,
+    # kernels/iteration.py — the reference's own showcase size band)
+    m_s, n_s = 2048, 4096
+    qphi_s = ct.quantize(jnp.asarray(Phi[:m_s, :n_s]), 4)
+    qphit_s = ct.transpose(qphi_s)
+    y_s = np.asarray(Phi[:m_s, :n_s]) @ (rng.random(n_s, dtype=np.float32))
+    qy_s = ct.quantize(jnp.asarray(y_s / np.abs(y_s).max()), 4)
+    iht_ips_small = bench_iht_iters_per_sec(qphi_s, qphit_s, qy_s,
+                                            n_s // 4, 1e-4,
+                                            jax.random.PRNGKey(0))
+
     # serving throughput: B=16 requests on one matrix stream vs B=1
     # (kernels/mvm_batched.py)
     from clover_tpu.ops.gemm import mvm_batched
@@ -291,6 +302,7 @@ def main():
             "speedup_vs_fp32": round(speedup, 2),
             "ref_speedup_vs_fp32": REF_SPEEDUP_VS_FP32,
             "iht_iters_per_sec_4bit_4096x8192": round(iht_ips, 1),
+            "iht_iters_per_sec_4bit_2048x4096": round(iht_ips_small, 1),
             "batched_mvm_throughput_x_at_b16": round(
                 16 * max(tb1, 1e-9) / max(tb16, 1e-9), 2),
             "batched_mvm_per_s_b16": round(16 / max(tb16, 1e-9), 1),
