@@ -237,7 +237,33 @@ def bench_axpy(log, sizes=VEC_SIZES):
         for bits in (4, 8):
             qx, qy = ct.quantize(x, bits), ct.quantize(y, bits)
 
+            from ..kernels import pallas_enabled
+            from ..kernels.quantize import axpy_pallas_eligible
+            kernel_path = pallas_enabled() and axpy_pallas_eligible(qx, qy)
+
             def make(iters):
+                if kernel_path:
+                    # scales-only perturbation: the opaque pallas call
+                    # re-runs whole (2 code streams read + 1 written)
+                    # with no extra traffic.  Carrying the output
+                    # container as the next input pays XLA's
+                    # carry-into-pallas-operand copy per step — the same
+                    # protocol artifact as the r2 dot "cliff"
+                    # (dot_notes_r3.md); it understated these rows ~2x.
+                    @jax.jit
+                    def g(u, v):
+                        def body(i, s):
+                            u2 = type(u)(codes=u.codes,
+                                         scales=u.scales + s * 1e-37,
+                                         length=u.length)
+                            out = ct.scale_and_add(u2, v, -0.5)
+                            return s + out.scales[0] * 1e-30
+                        return jax.lax.fori_loop(0, iters, body,
+                                                 jnp.float32(0))
+                    return lambda: float(g(qx, qy))
+
+                # XLA path: keep the honest carried-output dataflow
+                # (scales-only would let XLA elide the requant work)
                 @jax.jit
                 def g(u, v):
                     def body(i, u):

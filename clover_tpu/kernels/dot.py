@@ -42,9 +42,13 @@ from ..formats import BLOCK, QVec4, QVec8
 from .dispatch import pallas_interpret
 
 HALF = BLOCK // 2
-# Tile rows per grid step: the f32/bf16 product intermediates dominate
-# scoped VMEM, and 1024 measured within 1% of 2048 anyway.
-RT_CAP = {4: 1024, 8: 1024}
+# Tile rows per grid step.  r2 picked 1024 ("within 1% of 2048") under
+# the codes-carry protocol, whose per-step copy hid geometry entirely;
+# the corrected scales-only sweep (r3, /tmp-logged in
+# doc/results/dot_notes_r3.md) shows rt=1024 is the WORST 4-bit tile:
+# rt2048 wins 626 -> 808 GB/s at 2^24 and 569 -> 707 at 2^25, and never
+# lost for 8-bit either (543 vs 529 at 2^24).
+RT_CAP = {4: 2048, 8: 2048}
 
 
 def _block_indicator(w: int, nbpr: int):
