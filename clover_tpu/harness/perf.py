@@ -707,7 +707,7 @@ def bench_sharded(log, sizes=(8192,), iht_size=(4096, 8192)):
     from ..parallel.ops import mvm_psum, mvm_psum_overlapped
     from ..parallel.solvers import (
         _local_mat, _local_vec, _shard_map, iht as iht_sharded)
-    from ..formats import QVec32, zeros_vector
+    from ..formats import zeros_vector
     from ..models.solvers import _solve
 
     mesh = make_mesh()

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats import BLOCK, QMat4, QMat8, QVec4, QVec8
+from ..formats import BLOCK, QVec4, QVec8
 from .dispatch import pallas_interpret, seed_from
 from .mvm import (HALF, QMAX, _band_sr, _block_diag, _mode, _pick_geometry,
                   _unoise, _unpack_x4, _write_codes)

@@ -13,7 +13,7 @@ the same session as the kernel measurement.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -165,7 +165,7 @@ def dma_probe_call(qA):
     one-byte update keeps XLA from hoisting the loop-invariant call).
     Uses the shipped fused kernel's own geometry for qA's shape.
     """
-    from .mvm import _mode, _pick_geometry
+    from .mvm import _pick_geometry
     mode = "4x4" if qA.bits == 4 else "8x8"
     tm, tk = _pick_geometry(qA.rows_pad, qA.cols_pad, mode)
     ka = tk // 2 if qA.bits == 4 else tk
