@@ -175,6 +175,34 @@ class Validator:
         return self.check(
             f"mvm {bits_a:2d}x{bits_x:2d}-bit {m}x{n}", ok, got[:8], ref[:8])
 
+    def solver_iteration(self, rng, bits_a, bits_x, m, n):
+        """The whole-iteration fused kernel (kernels/iteration.py) must
+        be bit-identical to the two-launch fused MVM+AXPY sequence —
+        the invariant the solver dispatch relies on (TPU only; the CPU
+        suite covers interpret mode in tests/test_kernels.py)."""
+        from ..kernels.dispatch import pallas_enabled
+        from ..kernels.iteration import (iteration_pallas,
+                                         iteration_pallas_eligible)
+        from ..ops.mvm import mvm_axpy
+        a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+        yv = a @ (rng.random(n, dtype=np.float32) * 2 - 1)
+        xv = rng.random(n, dtype=np.float32) * 2 - 1
+        qa = quantize(jnp.asarray(a), bits_a)
+        qat = transpose(qa)
+        qy = quantize(jnp.asarray(yv / np.abs(yv).max()), bits_x)
+        qx = quantize(jnp.asarray(xv), bits_x)
+        if not (pallas_enabled()
+                and iteration_pallas_eligible(qa, qat, qy, qx)):
+            return True
+        got = iteration_pallas(qa, qat, qy, qx, 1e-3)
+        t2 = mvm_axpy(qa, qx, qy, -1.0)
+        want = mvm_axpy(qat, t2, qx, 1e-3)
+        ok = (np.array_equal(np.asarray(got.codes), np.asarray(want.codes))
+              and np.array_equal(np.asarray(got.scales),
+                                 np.asarray(want.scales)))
+        return self.check(
+            f"iteration {bits_a:2d}x{bits_x:2d}-bit {m}x{n}", ok)
+
     def matrix_transpose(self, rng, bits, m, n):
         a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
         q = quantize(jnp.asarray(a), bits)
@@ -223,6 +251,8 @@ def run_validation(full: bool = False, seed: int = 1, log=print) -> bool:
         for (ba, bx) in ((4, 4), (4, 8), (8, 8), (16, 16), (32, 32),
                          (4, 32), (8, 32)):
             v.matrix_mvm(rng, ba, bx, m, n)
+        for (ba, bx) in ((4, 4), (4, 8)):
+            v.solver_iteration(rng, ba, bx, m, n)
 
     log(f"\n{v.checks} checks, {v.failures} failures")
     return v.failures == 0
