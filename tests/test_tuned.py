@@ -23,15 +23,17 @@ def test_lookup_structure():
 
 
 def test_family_tables_structure():
-    """Round-3 full-granularity tables: 12 sizes x 4 families x 4
-    precision columns (reference granularity, 03_iht_gd_util.cpp:30-447);
-    HBM-skipped columns are explicit Nones, never missing keys."""
+    """Round-3 full-granularity tables: the reference's full 19-size
+    ladder plus 4 extra sizes x 4 families x 4 precision columns
+    (reference granularity, 03_iht_gd_util.cpp:30-447;
+    00_test.cpp:75-95); HBM-skipped columns are explicit Nones, never
+    missing keys."""
     fams = (("iht", tuned.IHT_PURE_FAMILY, False),
             ("iht_mixed", tuned.IHT_MIXED_FAMILY, False),
             ("gd", tuned.GD_PURE_FAMILY, True),
             ("gd_mixed", tuned.GD_MIXED_FAMILY, True))
     for kind, table, gd in fams:
-        assert len(table) >= 12, kind
+        assert len(table) >= 19, kind
         for (m, n), row in table.items():
             assert (m == int(1.5 * n)) if gd else (n == 2 * m), (kind, m, n)
             assert 0 < row["quality_target"] < 2
