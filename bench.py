@@ -163,8 +163,10 @@ def main():
     probe_make, probe_bytes = dma_probe_call(qA4)
     p1, p2 = probe_make(K1), probe_make(K2)
     p1(); p2()
-    t_dma = sorted((_median_time(p2) - _median_time(p1)) / (K2 - K1)
-                   for _ in range(3))[1]
+
+    def measure_dma():
+        return sorted((_median_time(p2) - _median_time(p1)) / (K2 - K1)
+                      for _ in range(3))[1]
 
     t4_sr = bench_mvm_chain(qA4, qx4, sr=True)
     t4_det = bench_mvm_chain(qA4, qx4, sr=False)
@@ -174,18 +176,23 @@ def main():
     t4 = t4_sr if t4_sr > 0 else max(t4_det, 1e-9)
     # The chip transiently slows 5-25% for minutes at a time (external
     # tenancy; memory file tpu-kernel-facts) and the slowdowns are
-    # strictly one-sided, so the headline takes the better of two spaced
-    # measurement windows — each itself a median of 9 paired diffs that
-    # cannot exceed the physical stream rate.  Window 2 runs after the
-    # other precision rows below.
+    # strictly one-sided, so the headline takes the better of three
+    # spaced measurement windows — each itself a median of 9 paired
+    # diffs that cannot exceed the physical stream rate.  The DMA floor
+    # is measured INSIDE each window, adjacent to the kernel chain, and
+    # pct_of_achievable reports the CHOSEN window's kernel/floor pair —
+    # a same-chip-state ratio (a floor from a different window mixes
+    # states and once read 821 GB/s > spec).
+    windows = [(t4, measure_dma())]
+
     def rerun_headline():
         t = bench_mvm_chain(qA4, qx4, sr=True)
-        return t if t > 0 else t4
+        windows.append((t if t > 0 else t4, measure_dma()))
     t48 = bench_mvm_chain(qA4, qx8, sr=False)
     t8 = bench_mvm_chain(qA8, qx8, sr=False)
 
-    t4_w2 = rerun_headline()
-    t4 = min(t4, t4_w2)
+    rerun_headline()
+    t4_w2 = windows[-1][0]
 
     gbs = lambda nbytes, t: nbytes / t / 1e9
     pct = 100.0 * gbs(qA4.nbytes, t4) * 1e9 / HBM_ROOFLINE
@@ -286,8 +293,9 @@ def main():
     # Every window is a median of paired diffs that cannot exceed the
     # physical stream rate — taking the best is bias-correct for a
     # one-sided noise process.
-    t4_w3 = rerun_headline()
-    t4 = min(t4, t4_w3)
+    rerun_headline()
+    t4_w3 = windows[-1][0]
+    t4, t_dma = min(windows)         # best window's kernel + ITS floor
     pct = 100.0 * gbs(qA4.nbytes, t4) * 1e9 / HBM_ROOFLINE
     speedup = t32 / t4
 
