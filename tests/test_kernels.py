@@ -497,3 +497,18 @@ def test_iteration_solver_dispatch(rng, monkeypatch):
                                   np.asarray(want.codes))
     np.testing.assert_array_equal(np.asarray(got.scales),
                                   np.asarray(want.scales))
+
+
+def test_dma_probe_stream_stacking(rng):
+    """Measurement probes (kernels/probes.py): the stacked salted stream
+    probe stacks a small codes buffer to >= ring_bytes, runs a dependent
+    chain, and returns finite values; launch_probe likewise.  (These are
+    measurement-only, but a silent breakage would invalidate floor
+    claims — doc/results/iht_small_r3.md.)"""
+    from clover_tpu.kernels.probes import dma_probe_stream, launch_probe
+    q = ct.quantize(jnp.asarray(rng.random((256, 512), np.float32)), 4)
+    mk, nbytes, p = dma_probe_stream(q, ring_bytes=1 << 20)
+    assert p == -(-(1 << 20) // q.codes.nbytes)
+    assert nbytes == p * q.codes.nbytes
+    assert np.isfinite(mk(3)())
+    assert np.isfinite(launch_probe()(3)())
