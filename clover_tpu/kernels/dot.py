@@ -44,10 +44,9 @@ from .dispatch import pallas_interpret
 HALF = BLOCK // 2
 # Tile rows per grid step.  r2 picked 1024 ("within 1% of 2048") under
 # the codes-carry protocol, whose per-step copy hid geometry entirely;
-# the corrected scales-only sweep (r3, /tmp-logged in
-# doc/results/dot_notes_r3.md) shows rt=1024 is the WORST 4-bit tile:
-# rt2048 wins 626 -> 808 GB/s at 2^24 and 569 -> 707 at 2^25, and never
-# lost for 8-bit either (543 vs 529 at 2^24).
+# the corrected scales-only sweep (doc/results/dot_notes_r3.md table)
+# shows rt=1024 is the WORST 4-bit tile: rt2048 wins 626 -> 808 GB/s at
+# 2^24 and 569 -> 707 at 2^25, and never lost for 8-bit (543 vs 529).
 RT_CAP = {4: 2048, 8: 2048}
 
 
