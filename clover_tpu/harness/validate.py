@@ -218,12 +218,21 @@ TPU_VEC_SIZES = [128, 129, 191, 192, 512, 1000, 1024, 2047]
 TPU_MAT_SHAPES = [(128, 128), (256, 384), (512, 1024), (1000, 200)]
 
 
-def run_validation(full: bool = False, seed: int = 1, log=print) -> bool:
+def run_validation(full: bool = False, seed: int = 1, log=print,
+                   vec_sizes=None, mat_shapes=None) -> bool:
+    """``vec_sizes``/``mat_shapes`` override the sweep sets (used by the
+    chunked full-sweep runner: one process cannot hold the ~27k distinct
+    XLA executables of the full 128..2047 sweep — LLVM's JIT code arena
+    exhausts around ~6k compiles)."""
     import jax
     rng = np.random.default_rng(seed)
     v = Validator(log=log)
     on_tpu = jax.default_backend() == "tpu"
-    if full:
+    explicit = vec_sizes is not None or mat_shapes is not None
+    if explicit:
+        vec_sizes = vec_sizes or []
+        mat_shapes = mat_shapes or []
+    elif full:
         vec_sizes = list(range(128, 2048))
         mat_shapes = [(mm, nn) for mm in range(128, 1281, 128)
                       for nn in range(128, 1281, 128)]
