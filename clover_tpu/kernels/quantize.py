@@ -9,12 +9,15 @@ The XLA paths in ops/ are semantically identical but draw SR noise from
 threefry (many ops/element); these kernels use ``pltpu.prng_random_bits``
 (hardware PRNG) and fuse absmax/SR/packing into one pass over the data.
 Measured v5e (SR on, honest protocol): quantize ~400-450 GB/s (~50% of
-the HBM spec — VPU-compute-bound, not bandwidth-bound), AXPY ~113-116
-GB/s 4/8-bit (~14%; beats an honest HBM-bound fp32 AXPY on time by
-moving 8x fewer bytes.  The floor is the f32 dequant/requant op count:
-a byte-passthrough kernel through the same tiles measures ~360 GB/s,
-and every wider/narrower tiling or deferred-epilogue variant is within
-a few % — see _axpy_grp).
+the HBM spec — VPU-compute-bound, not bandwidth-bound), AXPY ~130 GB/s
+4-bit / ~200 GB/s 8-bit (1.36x / 1.12x over the fp32 ring baseline on
+time).  The floor is the f32 dequant/requant VPU op count, not
+bandwidth: a byte-passthrough kernel through the same tiles measures
+~720 GB/s, the dequant phase alone (scalar scales) ~280 GB/s, and the
+exact per-block absmax is the largest irreducible requant cost — the
+full strategy space (slice reduces, roll trees, segmented broadcasts,
+reduce_window, strided slices) is measured or shown unsupported in
+doc/results/axpy_ablation_r4.md.
 
 Layout convention: quantize processes a padded vector as a 2-D
 (n/512, 512) view — EIGHT blocks per row so tiles span all 128 lanes (a
@@ -80,22 +83,47 @@ def _pack_cols(q):
 
 def _expand_scales(s, w: int):
     """Exact lane expansion (RT, nbpr) -> (RT, nbpr*w): lane l gets
-    s[:, l // w].
+    s[:, l // w].  Strategy by group width (both measured r4,
+    doc/results/axpy_ablation_r4.md):
 
-    Runs as a HIGHEST-precision 0/1-indicator matmul on the MXU: each
-    output is s*1.0 + zeros, and the bf16x3 HIGHEST decomposition
-    reproduces any f32 exactly (hi+mid+lo partial sums stay <= 24
-    mantissa bits), so every lane is a bit-exact copy — verified
-    bit-identical to the select expansion, and measured ~25% faster for
-    the whole AXPY kernel (the chained selects were nbpr-1 full-width
-    VPU passes; the matmul rides the otherwise-idle MXU)."""
+    * w >= 64 (8-bit AXPY, vec/mat quantize): concat of per-block
+      lane-broadcasts — every output lane is a bit-exact COPY written
+      once, ~one full-width VPU data pass independent of nbpr.  Replaced
+      the r2/r3 HIGHEST indicator matmul whose MXU work grows with nbpr
+      (at the AXPY's nbpr=64 the three expansions cost more than the
+      rest of the kernel): 8-bit AXPY 130 -> ~200 GB/s, bit-identical.
+    * w < 64 (the 4-bit AXPY's 32-lane nibble planes): a manual 3-way
+      bf16-split indicator matmul (3 plain MXU matmuls; the r2/r3
+      HIGHEST form lowers to 6).  At w=32 the concat pieces run the VPU
+      quarter-width while the kernel is VPU-bound with an IDLE MXU, so
+      the matmul expansions are nearly free in context: 4-bit AXPY
+      ~107 -> ~129 GB/s.  The 3-way split reconstructs any f32 whose
+      2^-16-relative residual stays normal; below s ~ 1e-33 the bf16
+      conversion loses the subnormal residual (<= 2^-16 relative error)
+      — the IDENTICAL envelope as the r2/r3 HIGHEST lowering (measured:
+      both flush the same cases), so this is no exactness regression.
+
+    (pltpu.repeat is not usable here: it tiles [s0..sg, s0..sg, ...],
+    not element-repeat.  pltpu.roll costs ~13 us per full-width pass at
+    n=2^24 — roll trees measured strictly slower.)"""
     rt, nbpr = s.shape
     if nbpr == 1:
         return jnp.broadcast_to(s, (rt, w))
+    if w >= 64:
+        return jnp.concatenate(
+            [jax.lax.broadcast_in_dim(s[:, b:b + 1], (rt, w), (0, 1))
+             for b in range(nbpr)], axis=1)
+    hi = s.astype(jnp.bfloat16)
+    r1 = s - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     r = jax.lax.broadcasted_iota(jnp.int32, (nbpr, nbpr * w), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (nbpr, nbpr * w), 1)
-    E = jnp.where(c // w == r, 1.0, 0.0)
-    return jax.lax.dot(s, E, precision=jax.lax.Precision.HIGHEST)
+    E = jnp.where(c // w == r, 1.0, 0.0).astype(jnp.bfloat16)
+    out = jax.lax.dot(hi, E, preferred_element_type=jnp.float32)
+    out += jax.lax.dot(mid, E, preferred_element_type=jnp.float32)
+    out += jax.lax.dot(lo, E, preferred_element_type=jnp.float32)
+    return out
 
 
 def _block_absmax(x, w: int):
