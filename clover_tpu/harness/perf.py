@@ -421,7 +421,7 @@ def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
     rng = np.random.default_rng(0)
     for n in sizes:
         x = jnp.asarray(rng.random(n, dtype=np.float32) * 2 - 1)
-        for bits in (4, 8, 32):
+        for bits in (4, 8, 16, 32):
             q = ct.quantize(x, bits)
 
             def make(iters):
@@ -434,6 +434,8 @@ def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
                                          scales=q.scales + s * 1e-30,
                                          length=q.length)
                         else:
+                            # fp16: the 1e-30 rounds away but the carried
+                            # add still forces the chain dependency
                             q2 = type(q)(values=q.values + s * 1e-30,
                                          length=q.length)
                         out = ct.threshold(q2, k)
@@ -441,7 +443,7 @@ def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
                             tot = jnp.sum(out.codes.astype(jnp.int32)
                                           ).astype(jnp.float32)
                         else:
-                            tot = jnp.sum(out.values)
+                            tot = jnp.sum(out.values.astype(jnp.float32))
                         return (q2, s + tot * 1e-30)
                     _, s = jax.lax.fori_loop(0, iters, body,
                                              (q, jnp.float32(0)))

@@ -24,10 +24,13 @@ One pallas_call, two sequential grid phases over the codes:
 Tie values compare at the BIT level of the exact same f32 expression the
 XLA path uses, so kernel and XLA results are identical.
 
-Size caps (measured r2, interleaved 512-long chains): the kernels win
-below ~2^18 where the XLA paths pay a fixed multi-dispatch latency
-(4-bit: 13 vs 26 us at 2^16, 24 vs 30 at 2^17, but 57 vs 29 at 2^18);
-past the caps ops/threshold.py's wide-view bisect paths take over.
+Size caps: the kernels win where the XLA paths pay a fixed
+multi-dispatch latency; past the caps ops/threshold.py's wide-view
+bisect paths take over.  The r2 4-bit kernel stored candidates as
+(rows, 32) — quarter VPU width — and lost to XLA past 2^17; r4 packs
+four rows' candidate panels per full-width scratch row, which took the
+bisection scans to full width and moved the crossover past 2^20
+(doc/results/threshold4_r4.md).
 Layouts: 8-bit codes as (rows, 128) int8 — one row = 2 blocks; 4-bit
 packed codes as (rows, 128) int8 — one row = 4 blocks; scales lane-major.
 """
@@ -43,14 +46,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dispatch import pallas_interpret
 
-# Coverage caps (measured r2): the 8-bit kernel beats the dense-bisect
-# XLA path up to 2^20 (its per-tile streams and in-kernel bisect stay
-# VMEM-resident); the 4-bit kernel's (rows, 32) candidate arrays run the
-# VPU quarter-width, so it loses to the wide-view XLA path past 2^17.
+# Coverage caps: the 8-bit kernel beats the dense-bisect XLA path up to
+# 2^20 (its per-tile streams and in-kernel bisect stay VMEM-resident;
+# measured r2).  The 4-bit kernel was capped at 2^17 in r2/r3 because
+# its (rows, 32) candidate arrays ran the VPU quarter-width; r4 packs
+# four rows' candidate panels into full 128-lane scratch rows (sublane
+# reshape + lane concat — no extra matmuls), which lifted the cap to
+# 2^20 (measured crossover vs the wide-view XLA path:
+# doc/results/threshold4_r4.md).
 MAX_ROWS8 = 8192
 ROW_BYTES = 128                  # 4-bit packed bytes per row = 4 blocks
 GPR = 4                          # 4-bit blocks (32-lane groups) per row
-MAX_ROWS4 = 512                  # 4-bit cap: n = 2^17
+MAX_ROWS4 = 4096                 # 4-bit cap: n = 2^20
 
 
 def _bisect9(count_gt, k: int, hi0, fan: int | None = None):
@@ -292,8 +299,19 @@ def _kernel4(codes_ref, ms_ref, out_ref, cnts_s, cand_s, sm, *,
             panels_v.append(jnp.float32(a) * m7)
         cnt32 = _place28(jnp.concatenate(panels_c, axis=1), values=False)
         cand32 = _place28(jnp.concatenate(panels_v, axis=1), values=True)
-        cnts_s[pl.dslice(g * rt, rt), :] = cnt32
-        cand_s[pl.dslice(g * rt, rt), :] = cand32
+        # pack FOUR rows into one full-width scratch row (row 4q+j lands
+        # in lane quarter j): sublane-split reshape, then one lane-banded
+        # store per quarter (tpu.concatenate of the offset slices is not
+        # implemented in Mosaic: "offset mismatch on non-concat dim") —
+        # the bisection then scans at full VPU width (the r2/r3
+        # (rows, 32) layout ran it quarter-width, capping the kernel at
+        # 2^17)
+        r4 = pl.dslice(g * (rt // 4), rt // 4)
+        qc = cnt32.reshape(rt // 4, 4, 32)
+        qv = cand32.reshape(rt // 4, 4, 32)
+        for j in range(4):
+            cnts_s[r4, 32 * j:32 * (j + 1)] = qc[:, j, :]
+            cand_s[r4, 32 * j:32 * (j + 1)] = qv[:, j, :]
         out_ref[:] = p                                  # dummy block
 
     @pl.when((ph == 1) & (g == 0))
@@ -388,8 +406,8 @@ def _build4(rows: int, rt: int, k: int, interpret: bool):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(((g_total + 1) * rt, ROW_BYTES),
                                        jnp.int8),
-        scratch_shapes=[pltpu.VMEM((rows, 32), jnp.float32),
-                        pltpu.VMEM((rows, 32), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows // 4, 128), jnp.float32),
+                        pltpu.VMEM((rows // 4, 128), jnp.float32),
                         pltpu.SMEM((1, 4), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

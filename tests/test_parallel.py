@@ -316,3 +316,30 @@ def test_mvm_psum_fused_kernel_interpret(mesh, monkeypatch):
     assert mvm_pallas_eligible(A_l, x_l)
     got = _run_mvm_psum(mesh, qA, qx)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("bits", [4, "4x8"])
+def test_sharded_1x1_bitidentical_to_single(bits):
+    """On a 1x1 mesh the sharded solver routes to the single-chip
+    iteration (no collectives; parallel/solvers.py r4 fast path) — the
+    trajectory must be BIT-identical to models.solvers, SR on and off."""
+    from clover_tpu.parallel import make_mesh
+    mesh1 = make_mesh(shape=(1, 1))
+    phi, x_star, y, k = _problem(256, 512, 32)
+    m, n = phi.shape
+    mat_bits, vec_bits = (4, 8) if bits == "4x8" else (bits, bits)
+    for key in (None, jax.random.PRNGKey(3)):
+        qphi = quantize_mat(phi, mat_bits, key=None)
+        qphit = transpose(qphi)
+        qy = quantize_vec(y, vec_bits, key=None)
+        single = iht_single(qphi, qphit, qy, 10, k, 0.0042, key=key,
+                            x_star=QVec32(values=x_star, length=n))
+        shard = iht_sharded(shard_matrix(qphi, mesh1),
+                            shard_matrix(qphit, mesh1, transposed=True),
+                            shard_vector(qy, mesh1, "row"),
+                            10, k, 0.0042, mesh1, key=key,
+                            x_star=QVec32(values=x_star, length=n))
+        np.testing.assert_array_equal(np.asarray(single.trace),
+                                      np.asarray(shard.trace))
+        np.testing.assert_array_equal(np.asarray(single.x.codes),
+                                      np.asarray(shard.x.codes))
