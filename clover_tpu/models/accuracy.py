@@ -76,9 +76,26 @@ def run_iht_accuracy(config, m=512, n=1024, k=64, epochs=200,
 
 
 def run_gd_accuracy(config, m=384, n=256, iterations=500, mu=GD_MU,
-                    seed=None, key=None):
-    kwargs = {} if seed is None else {"seed": seed}
-    phi, x_star, y = make_gd_problem(m, n, **kwargs)
+                    seed=None, key=None, data="auto"):
+    """Run one precision config of the GD accuracy protocol.
+
+    ``data`` as in run_iht_accuracy: "reference" = the bit-exact
+    (Phi, x*, y) of the reference's test_gd
+    (problems.make_gd_problem_reference, verified against the
+    from-source build's dump — doc/results/gd_accuracy_parity_r4.md);
+    "auto" = "reference" at the protocol size with no explicit seed.
+    """
+    if data == "auto":
+        data = ("reference" if (m, n) == (384, 256) and seed is None
+                else "threefry")
+    if data == "reference":
+        import jax.numpy as jnp
+        from .problems import make_gd_problem_reference
+        phi, x_star, y = (jnp.asarray(a)
+                          for a in make_gd_problem_reference(m, n))
+    else:
+        kwargs = {} if seed is None else {"seed": seed}
+        phi, x_star, y = make_gd_problem(m, n, **kwargs)
     mat_bits = 4 if config == "4x8" else config
     vec_bits = 8 if config == "4x8" else config
     qphi, qphit, qy, krun = _quantize_problem(phi, y, mat_bits, vec_bits, key)

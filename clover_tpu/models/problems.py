@@ -95,6 +95,41 @@ def make_iht_problem_reference(m: int = 512, n: int = 1024, k: int = 64):
     return phi, x, y
 
 
+def make_gd_problem_reference(m: int = 384, n: int = 256):
+    """Bit-exact reproduction of the reference's GD accuracy problem
+    instance (test_gd, test/accuracy/00_accuracy.cpp:93-128):
+    initialize_random_GD_values (test/performance/03_iht_gd_util.cpp) with
+    the committed data keys, the vendored AVX generator's quirk stream,
+    sequential-f64 row norms (test/accuracy/01_math.h:44-49, scale =
+    (float)(1.0/norm2) then one f32 multiply per element), and y from the
+    sequential-f64 sgemv accumulation rounded once to f32.
+
+    Verified bit-identical to the from-source reference build's dump
+    (doc/results/refrun, gd_accuracy_parity_r4.md).
+
+    -> (Phi f32[m,n], x_star f32[n], y f32[m]) as NumPy arrays.
+    """
+    import numpy as np
+    from ..rng import avx_part2_lanes, avx_quirk_stream
+    state = avx_part2_lanes(REF_KEY1, REF_KEY2)
+    draws, state = avx_quirk_stream(state, (m * n + 7) // 8)
+    phi = _avx_floats(draws.reshape(-1)[:m * n].view(np.int32),
+                      -1.0, 1.0).reshape(m, n)
+    p64 = phi.astype(np.float64)
+    # norm2: sequential f64 sum of squares (np.cumsum is sequential;
+    # np.sum's pairwise order could differ in the last f64 ulp)
+    nrm = np.sqrt(np.cumsum(p64 * p64, axis=1)[:, -1])
+    scale = (1.0 / nrm).astype(np.float32)
+    phi = phi * scale[:, None]                         # f32 multiplies
+    draws, state = avx_quirk_stream(state, (n + 7) // 8)
+    xr = _avx_floats(draws.reshape(-1)[:n].view(np.int32), -1.0, 1.0)
+    x = np.where(xr < 0, np.float32(-1.0), np.float32(1.0))
+    p64 = phi.astype(np.float64)
+    y = np.cumsum(p64 * x.astype(np.float64), axis=1)[:, -1].astype(
+        np.float32)
+    return phi, x, y
+
+
 def make_gd_problem(m: int, n: int, seed: int = DEFAULT_SEED):
     """-> (Phi row-normalized f32[m,n], x_star in {-1,1}^n, y f32[m])."""
     key = jax.random.PRNGKey(seed)
