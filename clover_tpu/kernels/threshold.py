@@ -46,15 +46,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dispatch import pallas_interpret
 
-# Coverage caps: the 8-bit kernel beats the dense-bisect XLA path up to
-# 2^20 (its per-tile streams and in-kernel bisect stay VMEM-resident;
-# measured r2).  The 4-bit kernel was capped at 2^17 in r2/r3 because
-# its (rows, 32) candidate arrays ran the VPU quarter-width; r4 packs
-# four rows' candidate panels into full 128-lane scratch rows (sublane
-# reshape + lane concat — no extra matmuls), which lifted the cap to
-# 2^20 (measured crossover vs the wide-view XLA path:
-# doc/results/threshold4_r4.md).
-MAX_ROWS8 = 8192
+# Coverage caps (r4 recrossed against the XLA paths,
+# doc/results/threshold4_r4.md).  8-bit: the r4 approx_max_k+verify
+# dense path (ops/threshold._tau_approx_verified) overtakes this kernel
+# past n=2^17 (measured 21.8 vs 26.1 us at 2^18, 42.7 vs 88.3 at 2^20)
+# — the r2/r3 cap was 2^20 against the old dense-bisect.  4-bit: the
+# r2/r3 kernel was capped at 2^17 because its (rows, 32) candidate
+# arrays ran the VPU quarter-width; r4 packs four rows' candidate
+# panels into full 128-lane scratch rows (sublane reshape +
+# lane-banded stores), which moved the crossover vs the wide-view XLA
+# path to ~2^20 (45.9 vs 55.8 us at 2^19, 90.8 vs ~93 at 2^20).
+MAX_ROWS8 = 1024                 # 8-bit cap: n = 2^17
 ROW_BYTES = 128                  # 4-bit packed bytes per row = 4 blocks
 GPR = 4                          # 4-bit blocks (32-lane groups) per row
 MAX_ROWS4 = 4096                 # 4-bit cap: n = 2^20

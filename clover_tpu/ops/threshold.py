@@ -166,41 +166,46 @@ def _rank_tie_mask(gt, eq, fill):
         gt, jnp.logical_and(eq, rank < fill.astype(jnp.float32)))
 
 
-# Use the block-max top_k hierarchy (instead of bisection) to find tau
-# when k is at most this (gather + final top_k grow with k; measured
-# crossover doc/results/threshold4_r4.md).
+# Use the approx_max_k + exact-verification tau finder (instead of pure
+# bisection) on the DENSE paths when k is at most this (the approx
+# pass's cost grows with k).  Measured v5e at n=2^20, K=64
+# (doc/results/threshold4_r4.md): dense 32-bit 181 -> 33 us (46 -> 254
+# GB/s — the bisection's 12 level scans each re-read the full f32
+# array).  The 4-bit wide-view path does NOT use it: its bisection
+# scans the 8x-compressed candidate multiset and its cost is dominated
+# by the unpack/mask/pack stage, so approx measured a wash there
+# (97 vs ~90 us) and a regression at K=1024 (228 us).
 TAU_HIER_MAX_K = 1024
 
 
-def _tau_blockmax(vals_b: jax.Array, k: int):
-    """Exact k-th largest |value| via a two-level block-max hierarchy —
-    no bisection, no full-length sort.
+def _tau_approx_verified(ev: jax.Array, k: int, fallback):
+    """tau_bits of the EXACT k-th largest value of ``ev``, via a
+    verified approximate candidate with a bisection fallback.
 
-    ``vals_b`` is the (nb, B) per-block view of the non-negative element
-    values.  Selection: top-k BLOCKS by per-block max, gather only those
-    k blocks, and take the k-th largest of the gathered k*B values.
-
-    Exactness: every element > tau lies in a block whose max is > tau,
-    and there are fewer than k such elements, hence fewer than k such
-    blocks — all inside the top-k-by-max set.  If ties at tau push the
-    block count past k, then *every* block with max >= tau still fits
-    inside the top-k (their total is < k + #tau-blocks and the strict
-    ones number < k), so the gathered multiset contains at least
-    (k - n_above) tau-valued elements and its k-th largest equals tau
-    exactly.  lax.top_k's stable ordering keeps the choice
-    deterministic.
-
-    Replaces the fan-9 bisection for small k at large n: the bisection's
-    ~12 sequential count-reduce levels cost ~4-5 us each regardless of
-    fan (measured flat across fan 5/9/17 at n=2^20), while this path is
-    two small top_ks and one k-row gather.
-    """
-    nb = vals_b.shape[0]
-    M = jnp.max(vals_b, axis=1)                        # (nb,) block maxes
-    ti = _top_k_idx(M, k)                              # k block indices
-    gv = vals_b[ti]                                    # (k, B) gather
-    topv, _ = jax.lax.top_k(gv.reshape(-1), k)
-    return jax.lax.bitcast_convert_type(topv[k - 1], jnp.int32)
+    ``jax.lax.approx_max_k`` (the TPU-native partial-reduction top-k,
+    ~12 us over 2^20 f32 — vs the exact bisection's ~50-60 us of
+    sequential count-reduce levels, measured as a flat ~4-5 us/level
+    latency floor across fans 5/9/17/33) proposes tau = its k-th
+    value.  One global count pass PROVES or refutes it: tau is exact
+    iff count(> tau) < k <= count(>= tau).  A miss (the approx pass
+    dropped a true top-k element; its k-th value is then too SMALL,
+    never too large) fails the first inequality and ``lax.cond`` runs
+    ``fallback`` (the exact bisection), so the result is exact on every
+    input.  Padding is safe on both container layouts: 4-bit padding
+    is 0.0 (only inflates the >= count, and only at tau == 0 where
+    count(> 0) < k already decides exactness alone); dense padding is
+    -1.0 (a negative bit pattern — if approx ever surfaces it, every
+    real element counts above it and the check fails into the
+    fallback).  (A block-max top_k hierarchy was tried first and
+    measured SLOWER than the bisection — the k-row gather lowers to
+    sequential dynamic slices.)"""
+    topv = jax.lax.approx_max_k(ev.reshape(-1), k, recall_target=0.99)[0]
+    tau_c = jax.lax.bitcast_convert_type(topv[k - 1], jnp.int32)
+    ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
+    n_above_c = jnp.sum((ebits > tau_c).astype(jnp.int32))
+    n_ge_c = n_above_c + jnp.sum((ebits == tau_c).astype(jnp.int32))
+    ok = jnp.logical_and(n_above_c < k, n_ge_c >= k)
+    return jax.lax.cond(ok, lambda _: tau_c, fallback, None)
 
 
 def _wide_cols(npad: int) -> int:
@@ -215,26 +220,21 @@ def _wide_cols(npad: int) -> int:
 def _threshold4_xla(x, k: int):
     """4-bit XLA threshold: wide-view tau selection + mask.
 
-    tau (the k-th largest |value| bit pattern) comes from one of two
-    exact selectors:
+    tau comes from the r2 candidate-multiset bisection: per-(block,
+    magnitude) counts from seven indicator bf16 matmuls on the MXU
+    (counts <= 64, exact), then fan-9 bisection over the 8x-compressed
+    multiset.  (The r4 approx_max_k+verify selector that transformed
+    the dense paths measured a WASH here — this path's cost is
+    dominated by the unpack/mask/pack stage, not the bisection — and a
+    regression at K=1024; see TAU_HIER_MAX_K.)
 
-    * k <= TAU_HIER_MAX_K: the block-max top_k hierarchy
-      (_tau_blockmax) over the element values directly — two small
-      top_ks + a k-row gather; no candidate build, no bisection levels.
-      r4 addition: the bisection's ~12 sequential count-reduce levels
-      are a ~50-60 us latency floor at any large n (fan sweep measured
-      flat), which kept n=2^20 at ~15 GB/s.
-    * larger k: the r2 candidate-multiset bisection — per-(block,
-      magnitude) counts from seven indicator bf16 matmuls on the MXU
-      (counts <= 64, exact), then fan-9 bisection.
-
-    The mask stage is shared; ties take a rank-free fast path via
-    ``lax.cond`` whenever the tie count exactly fits the remaining
-    slots — the generic case."""
+    The mask stage uses ELEMENT-level counts (padding masked out of
+    eq), so ties take the rank-free fast path via ``lax.cond`` exactly
+    when the tie count fits the remaining slots — valid even at
+    tau == 0, zero-valued ties being real elements."""
     npad = x.length_pad
     w = _wide_cols(npad)
     rows, gpr = npad // w, w // BLOCK
-    nb = npad // BLOCK
     codes = unpack_nibbles(x.codes)
     ca = jnp.abs(codes).astype(jnp.float32).reshape(rows, w)
     m7 = (x.scales / 7.0).reshape(rows, gpr)   # same divide as restore
@@ -246,10 +246,7 @@ def _threshold4_xla(x, k: int):
     ev = ca * me
     ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
 
-    hier = k <= TAU_HIER_MAX_K and k <= nb
-    if hier:
-        tau = _tau_blockmax(ev.reshape(nb, BLOCK), k)
-    else:
+    def bisect_tau(_):
         r = jax.lax.broadcasted_iota(jnp.int32, (w, gpr), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (w, gpr), 1)
         G = jnp.where(r // BLOCK == c, 1.0, 0.0).astype(jnp.bfloat16)
@@ -261,25 +258,18 @@ def _threshold4_xla(x, k: int):
             cands.append(jnp.float32(a) * m7)
         counts = jnp.concatenate(cnts, axis=1)         # (rows, 7*gpr)
         cand = jnp.concatenate(cands, axis=1)
-        tau, n_above, n_eq = _tau_bisect(cand, counts, k)
+        return _tau_bisect(cand, counts, k)[0]
+
+    tau = bisect_tau(None)
 
     gt = ebits > tau
     eq = ebits == tau
     if x.length < npad:
         eq = jnp.logical_and(
             eq, (jnp.arange(npad) < x.length).reshape(rows, w))
-    if hier:
-        # element-level counts (padding: ev == 0 is never > tau >= 0,
-        # and eq was just masked) — the tie fast path is then valid even
-        # at tau == 0, zero-valued ties being real elements here
-        n_above = jnp.sum(gt.astype(jnp.int32))
-        n_eq = jnp.sum(eq.astype(jnp.int32))
-        fastp = n_eq == k - n_above
-    else:
-        # n_eq counts MULTISET ties; it equals the element-level tie
-        # count whenever tau > 0 (zero codes are not in the multiset).
-        # tau == 0 (fewer than k nonzeros) must rank zeros by index.
-        fastp = jnp.logical_and(n_eq == k - n_above, tau > 0)
+    n_above = jnp.sum(gt.astype(jnp.int32))
+    n_eq = jnp.sum(eq.astype(jnp.int32))
+    fastp = n_eq == k - n_above
     fill = k - n_above
 
     def fast(_):
@@ -317,19 +307,21 @@ def _dense_keep_mask(av: jax.Array, k: int) -> jax.Array:
     npad = av.shape[-1]
     w = _wide_cols(npad)
     ev = av.reshape(npad // w, w)
-    nb = npad // BLOCK
-    if k <= TAU_HIER_MAX_K and k <= nb:
-        # block-max top_k hierarchy (see _tau_blockmax): padding
-        # sentinels (-1.0) sort below every real value in the float
-        # top_ks and are never selected while >= k real elements exist
-        tau = _tau_blockmax(av.reshape(nb, BLOCK), k)
-        ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
-        n_above = jnp.sum((ebits > tau).astype(jnp.int32))
-        n_eq = jnp.sum((ebits == tau).astype(jnp.int32))
+    ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
+
+    def bisect_tau(_):
+        return _tau_bisect(ev, jnp.ones_like(ev, jnp.int32), k)[0]
+
+    if k <= TAU_HIER_MAX_K:
+        # approx_max_k + exact verification (see _tau_approx_verified);
+        # padding sentinels (-1.0) have negative bit patterns — if the
+        # approx pass ever surfaces one, the verification fails into the
+        # exact bisection
+        tau = _tau_approx_verified(ev, k, bisect_tau)
     else:
-        tau, n_above, n_eq = _tau_bisect(ev, jnp.ones_like(ev, jnp.int32),
-                                         k)
-        ebits = jax.lax.bitcast_convert_type(ev, jnp.int32)
+        tau = bisect_tau(None)
+    n_above = jnp.sum((ebits > tau).astype(jnp.int32))
+    n_eq = jnp.sum((ebits == tau).astype(jnp.int32))
     gt = ebits > tau
     eq = ebits == tau
     fill = k - n_above
@@ -346,13 +338,16 @@ def _dense_keep_mask(av: jax.Array, k: int) -> jax.Array:
 def threshold(x, k: int):
     """Return x with all but its K largest-magnitude elements zeroed.
 
-    Selection = exact k-th-value bisection: for 4-bit over a compressed
-    candidate multiset (per-block counts of the 7 code magnitudes — the
-    only values a block can take); for 8/16/32-bit over the elements
-    themselves.  No full-length sort or top-k ever runs (TPU top_k is
-    sort-based; measured 1.6-3.2x slower than the dense bisect at every
-    size).  Tie-break matches the golden oracle: |value| desc, index
-    asc."""
+    Selection is always EXACT.  4-bit: the fused kernel below 2^20,
+    else k-th-value bisection over a compressed candidate multiset
+    (per-block counts of the 7 code magnitudes — the only values a
+    block can take).  8-bit: the fused kernel below 2^17, else the
+    dense path.  Dense (8 past cap /16/32): for k <= 1024 an
+    approx_max_k candidate PROVEN exact by one global count pass, with
+    a bisection fallback the verification triggers on a miss
+    (_tau_approx_verified — took 32-bit at n=2^20 from 181 to 33 us);
+    larger k bisect the elements directly.  Tie-break matches the
+    golden oracle: |value| desc, index asc."""
     k = int(k)
     if k >= x.length:
         return x
@@ -360,10 +355,9 @@ def threshold(x, k: int):
     if isinstance(x, QVec4):
         # candidate compression — value a*s_b/7 with multiplicity
         # counts[b, a], a in 1..7 (~n/9 candidates), then the exact
-        # bisection.  No top_k / sort anywhere.  Below 2^18 the fused
-        # Pallas kernel wins (13 vs 26 us at 2^16, interleaved A/B on
-        # v5e); above, its quarter-width candidate arrays lose to this
-        # wide-view XLA path (29 vs 57 us at 2^18).
+        # bisection.  The fused Pallas kernel wins below its 2^20 cap
+        # (r4 full-width candidate scans; crossovers in
+        # kernels/threshold.py header).
         from ..kernels import pallas_enabled
         from ..kernels.threshold import (
             threshold4_pallas, threshold4_pallas_eligible)
@@ -378,10 +372,11 @@ def threshold(x, k: int):
         if pallas_enabled() and threshold8_pallas_eligible(x, k):
             return threshold8_pallas(x, k)
 
-    # 8-bit past the kernel cap, and all 16/32-bit: exact dense
-    # bisection (no sort; see _dense_keep_mask).  Beats the r1 two-stage
-    # chunked lax.top_k at every size (32-bit: 11 vs 37 us at n=2^16,
-    # 303 vs 552 us at 2^21 on v5e), so that path was removed.
+    # 8-bit past the kernel cap, and all 16/32-bit: the dense path
+    # (_dense_keep_mask) — approx_max_k + exact verification for
+    # k <= 1024, exact dense bisection otherwise (which itself beat the
+    # r1 two-stage chunked lax.top_k at every size: 32-bit 11 vs 37 us
+    # at n=2^16, 303 vs 552 us at 2^21 on v5e).
     mask = _dense_keep_mask(_abs_restored(x), k)
     if isinstance(x, QVec8):
         codes = jnp.where(mask, x.codes, jnp.int8(0))
