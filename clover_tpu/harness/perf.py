@@ -433,9 +433,14 @@ def bench_threshold(log, sizes=VEC_SIZES[:2], k: int = 64):
                             q2 = type(q)(codes=q.codes,
                                          scales=q.scales + s * 1e-30,
                                          length=q.length)
-                        else:
+                        elif bits == 16:
                             # fp16: the 1e-30 rounds away but the carried
-                            # add still forces the chain dependency
+                            # add still forces the chain dependency (cast
+                            # keeps the carry dtype stable)
+                            q2 = type(q)(values=q.values
+                                         + (s * 1e-30).astype(jnp.float16),
+                                         length=q.length)
+                        else:
                             q2 = type(q)(values=q.values + s * 1e-30,
                                          length=q.length)
                         out = ct.threshold(q2, k)

@@ -94,19 +94,28 @@ def _compute_t(mode: str, p, whi, wlo_or_mix, cs):
     return mm.astype(jnp.float32)
 
 
-def _decode_u(uc_ref, out_bits: int):
-    """u operand codes -> f32 code values (same as _requant_axpy_write)."""
+def _decode_arr(p, out_bits: int):
+    """Packed u codes (bands, pck) -> f32 code values (bands, 64) (same
+    expressions as _requant_axpy_write)."""
     if out_bits == 4:
-        p = uc_ref[0]
         lo = jnp.bitwise_and(p, jnp.int8(0x0F)).astype(jnp.float32) - 8.0
         hi = jnp.bitwise_and(p, jnp.int8(-16)).astype(jnp.float32) / 16.0
         return jnp.concatenate([lo, hi], axis=1)
-    return uc_ref[0].astype(jnp.float32)
+    return p.astype(jnp.float32)
 
 
-def _leg(mode, out_bits, p, whi, wmix, cs, asc, xs, uc_ref, us_ref,
+def _decode_u(uc_ref, out_bits: int):
+    """u operand codes -> f32 code values (same as _requant_axpy_write)."""
+    return _decode_arr(uc_ref[0], out_bits)
+
+
+def _leg(mode, out_bits, p, whi, wmix, cs, asc, xs, u_codes, us,
          acc_ref, alpha, seed_mvm, seed_axpy, noise, bands):
     """One fused MVM+AXPY row tile: Q(u + alpha * Q((M v)_tile)).
+
+    ``u_codes``/``us`` are the u operand's f32 code values (bands, 64)
+    and scales (bands, 1) — from HBM refs or (in the chained kernel)
+    from the previous iteration's VMEM scratch.
 
     Returns (q2, s2): integer-valued f32 codes (bands, 64) + scales
     (bands, 1) — the caller writes them to HBM (phase B) or to the t2
@@ -126,10 +135,9 @@ def _leg(mode, out_bits, p, whi, wmix, cs, asc, xs, uc_ref, us_ref,
     acc_ref[:] = (t * combe).reshape(bands, BLOCK, -1)
     y2 = jnp.sum(acc_ref[:], axis=2)
     q1, s1 = _band_sr(y2, qm, _unoise(seed_mvm, y2.shape, noise[0]))
-    u_codes = _decode_u(uc_ref, out_bits)
     # same expression shape as _requant_axpy_write / _axpy_kernel so the
     # compiler contracts the dequant-fma identically everywhere
-    xv = u_codes * (us_ref[0] / qm) + alpha * (q1 * (s1 / qm))
+    xv = u_codes * (us / qm) + alpha * (q1 * (s1 / qm))
     return _band_sr(xv, qm, _unoise(seed_axpy, xv.shape, noise[1]))
 
 
@@ -151,7 +159,8 @@ def _iter_kernel(seed_ref, mu_ref, aA_ref, xcA_ref, ascA_ref, xscA_ref,
     @pl.when(i < gA)
     def _():
         q2, s2 = _leg(mode, out_bits, aA_ref[:], wAhi, wAmix, csA,
-                      ascA_ref[:], xscA_ref[:], ucA_ref, usA_ref, accA,
+                      ascA_ref[:], xscA_ref[:],
+                      _decode_u(ucA_ref, out_bits), usA_ref[0], accA,
                       jnp.float32(-1.0), seed_ref[0] + i, seed_ref[1] + i,
                       noise[:2], bandsA)
         if out_bits == 4:
@@ -170,7 +179,8 @@ def _iter_kernel(seed_ref, mu_ref, aA_ref, xcA_ref, ascA_ref, xscA_ref,
     def _():
         j = i - gA
         q2, s2 = _leg(mode, out_bits, aB_ref[:], wBhi, wBmix, csB,
-                      ascB_ref[:], t2s[:].T, ucB_ref, usB_ref, accB,
+                      ascB_ref[:], t2s[:].T,
+                      _decode_u(ucB_ref, out_bits), usB_ref[0], accB,
                       mu_ref[0], seed_ref[2] + j, seed_ref[3] + j,
                       noise[2:], bandsB)
         _write_codes(oc_ref, q2, out_bits)
@@ -276,6 +286,277 @@ def _build_iter_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
         interpret=interpret,
     )
     return call, (tmA, tkA), (tmB, tkB)
+
+
+# ---------------------------------------------------------------------------
+# Chained kernel: TWO whole iterations + in-kernel thresholds, one launch
+# ---------------------------------------------------------------------------
+
+def _rank_tie_keep(gt, eq, fill):
+    """Keep mask in golden tie order (|value| desc, index asc) over a
+    (R, 64) element array whose index order is row-major.  Always ranks
+    (no fast-path split): when the tie count equals ``fill`` the rank
+    rule keeps every tie — identical to the fast path — and the two
+    small triangular matmuls are negligible at R <= 128."""
+    R = gt.shape[0]
+    eqf = eq.astype(jnp.float32)
+    r = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    U = jnp.where(r < c, 1.0, 0.0).astype(jnp.bfloat16)
+    intra = jax.lax.dot(eqf.astype(jnp.bfloat16), U,
+                        preferred_element_type=jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    L = jnp.where(cc < rr, 1.0, 0.0).astype(jnp.bfloat16)
+    rowtot = jnp.sum(eqf, axis=1, keepdims=True)
+    rowoff = jax.lax.dot(L, rowtot.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    rank = rowoff + intra
+    return jnp.logical_or(gt, jnp.logical_and(eq, rank < fill))
+
+
+def _chain_kernel(seed_ref, mu_ref, aA_ref, xcA_ref, ascA_ref, xscA_ref,
+                  ucA_ref, usA_ref, aB_ref, ascB_ref, ucB_ref, usB_ref,
+                  oc_ref, os_ref, *scratch,
+                  mode, gA, gB, nbA, nbB, bandsA, bandsB, out_bits,
+                  noise, thr_k, chain):
+    """``chain`` solver iterations in ONE launch.  Each iteration is the
+    A/B phase pair of _iter_kernel plus a phase C that hard-thresholds
+    the new x IN-KERNEL (element-level bisection + golden tie ranking
+    over the whole x — a single (n/64, 64) tile at the eligible sizes)
+    and parks the thresholded codes/scales in VMEM scratch, from which
+    the next iteration's phase A weights and leg-B u operand are built.
+    x never touches HBM between iterations.
+
+    Tie-bit caveat: phase C divides s/qm in-kernel, while the
+    standalone threshold kernels pre-divide OUTSIDE (ops/threshold.py
+    note: the two divisions can differ by 1 ulp).  A flip requires two
+    distinct elements' |values| bit-equal under one rounding and not
+    the other — not observed on the solver's data; the chained path is
+    reserved for non-traced solves (models/solvers dispatch), so
+    accuracy-protocol trajectories are unaffected."""
+    from .threshold import _bisect9
+    (wAhi, wAmix, csA, wBhi, wBmix, csB, accA, accB, t2c, t2s,
+     xq, xs2, xpk, xscn) = scratch
+    L = gA + gB + 1
+    i = pl.program_id(0)
+    it = i // L
+    ph = i - it * L
+    qm = QMAX[out_bits]
+    first = it == 0
+    sbase = 4 * it
+
+    def seed(j, off):
+        return seed_ref[sbase + j] + off
+
+    @pl.when(ph == 0)
+    def _():
+        cod = jnp.where(first, xcA_ref[:], xpk[:])
+        _build_weights(mode, cod, nbA, wAhi, wAmix, csA)
+
+    @pl.when(ph < gA)
+    def _():
+        xsel = jnp.where(first, xscA_ref[:], xscn[:])
+        q2, s2 = _leg(mode, out_bits, aA_ref[:], wAhi, wAmix, csA,
+                      ascA_ref[:], xsel,
+                      _decode_u(ucA_ref, out_bits), usA_ref[0], accA,
+                      jnp.float32(-1.0), seed(0, ph), seed(1, ph),
+                      noise[:2], bandsA)
+        if out_bits == 4:
+            packed = (16.0 * q2[:, HALF:] + (q2[:, :HALF] + 8.0)
+                      ).astype(jnp.int8)
+        else:
+            packed = q2.astype(jnp.int8)
+        t2c[pl.ds(ph * bandsA, bandsA)] = packed
+        t2s[pl.ds(ph * bandsA, bandsA)] = s2
+
+    @pl.when(ph == gA)
+    def _():
+        _build_weights(mode, t2c[:], nbB, wBhi, wBmix, csB)
+
+    @pl.when((ph >= gA) & (ph < gA + gB))
+    def _():
+        j = ph - gA
+        u_hbm = _decode_u(ucB_ref, out_bits)
+        u_scr = _decode_arr(xpk[pl.ds(j * bandsB, bandsB), :], out_bits)
+        u_codes = jnp.where(first, u_hbm, u_scr)
+        us = jnp.where(first, usB_ref[0],
+                       xs2[pl.ds(j * bandsB, bandsB)])
+        q2, s2 = _leg(mode, out_bits, aB_ref[:], wBhi, wBmix, csB,
+                      ascB_ref[:], t2s[:].T, u_codes, us, accB,
+                      mu_ref[0], seed(2, j), seed(3, j),
+                      noise[2:], bandsB)
+        xq[pl.ds(j * bandsB, bandsB)] = q2.astype(jnp.int8)
+        xs2[pl.ds(j * bandsB, bandsB)] = s2
+
+    @pl.when(ph == L - 1)
+    def _():
+        q = xq[:].astype(jnp.float32)                # (R, 64)
+        s = xs2[:]                                   # (R, 1)
+        if thr_k is not None:
+            # element |values|: |code| * (s/qm) — sign-magnitude f32
+            # makes this bit-identical to |restore|
+            v = jnp.abs(q) * (s / qm)
+            bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+
+            def count_gt(t):
+                return jnp.sum(jnp.where(bits > t, 1, 0))
+
+            tau = _bisect9(count_gt, thr_k, jnp.max(bits))
+            gt = bits > tau
+            eq = bits == tau
+            fill = (jnp.float32(thr_k)
+                    - count_gt(tau).astype(jnp.float32))
+            keep = _rank_tie_keep(gt, eq, fill)
+            q = jnp.where(keep, q, 0.0)
+        if out_bits == 4:
+            packed = (16.0 * q[:, HALF:] + (q[:, :HALF] + 8.0)
+                      ).astype(jnp.int8)
+        else:
+            packed = q.astype(jnp.int8)
+        xpk[:] = packed
+        xscn[:] = s.T
+
+        @pl.when(it == chain - 1)
+        def _():
+            oc_ref[...] = packed.reshape(oc_ref.shape)
+            os_ref[...] = s.reshape(os_ref.shape)
+
+
+@lru_cache(maxsize=32)
+def _build_chain_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
+                      noise, thr_k, chain: int, interpret: bool):
+    (tmA, tkA), (tmB, tkB) = _geom(mode, m_pad, n_pad)
+    gA, gB = m_pad // tmA, n_pad // tmB
+    nbA, nbB = tkA // BLOCK, tkB // BLOCK
+    bandsA, bandsB = tmA // BLOCK, tmB // BLOCK
+    packed_mat = mode in ("4x4", "4x8")
+    kaA = tkA // 2 if packed_mat else tkA
+    kaB = tkB // 2 if packed_mat else tkB
+    wx = HALF if mode == "4x4" else BLOCK
+    pck = HALF if out_bits == 4 else BLOCK
+    L = gA + gB + 1
+    R = gB * bandsB                                  # = n_pad // 64
+
+    def ia(i, *_):
+        return (jnp.minimum(i % L, gA - 1), 0)
+
+    def ib(i, *_):
+        return (jnp.clip(i % L - gA, 0, gB - 1), 0)
+
+    def ia3(i, *_):
+        return (jnp.minimum(i % L, gA - 1), 0, 0)
+
+    def ib3(i, *_):
+        return (jnp.clip(i % L - gA, 0, gB - 1), 0, 0)
+
+    def pin(i, *_):
+        return (0, 0)
+
+    def pin3(i, *_):
+        return (0, 0, 0)
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((tmA, kaA), ia, memory_space=vm),            # Phi
+        pl.BlockSpec((nbA, wx), pin, memory_space=vm),            # x codes
+        pl.BlockSpec((bandsA, nbA), ia, memory_space=vm),         # Phi sc
+        pl.BlockSpec((1, nbA), pin, memory_space=vm),             # x sc
+        pl.BlockSpec((1, bandsA, pck), ia3, memory_space=vm),     # y codes
+        pl.BlockSpec((1, bandsA, 1), ia3, memory_space=vm),       # y sc
+        pl.BlockSpec((tmB, kaB), ib, memory_space=vm),            # PhiT
+        pl.BlockSpec((bandsB, nbB), ib, memory_space=vm),         # PhiT sc
+        pl.BlockSpec((1, bandsB, pck), ib3, memory_space=vm),     # x codes(u)
+        pl.BlockSpec((1, bandsB, 1), ib3, memory_space=vm),       # x sc (u)
+    ]
+    out_specs = [
+        pl.BlockSpec((gB, bandsB, pck), pin3, memory_space=vm),
+        pl.BlockSpec((gB, bandsB, 1), pin3, memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((gB, bandsB, pck), jnp.int8),
+        jax.ShapeDtypeStruct((gB, bandsB, 1), jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((kaA, nbA), jnp.int8),
+               pltpu.VMEM((kaA, nbA), jnp.int8),
+               pltpu.VMEM((1, nbA), jnp.float32),
+               pltpu.VMEM((kaB, nbB), jnp.int8),
+               pltpu.VMEM((kaB, nbB), jnp.int8),
+               pltpu.VMEM((1, nbB), jnp.float32),
+               pltpu.VMEM((bandsA, BLOCK, nbA), jnp.float32),
+               pltpu.VMEM((bandsB, BLOCK, nbB), jnp.float32),
+               pltpu.VMEM((nbB, pck), jnp.int8),        # t2c
+               pltpu.VMEM((nbB, 1), jnp.float32),       # t2s
+               pltpu.VMEM((R, BLOCK), jnp.int8),        # xq
+               pltpu.VMEM((R, 1), jnp.float32),         # xs2
+               pltpu.VMEM((R, pck), jnp.int8),          # xpk
+               pltpu.VMEM((1, R), jnp.float32)]         # xscn
+
+    kernel = partial(_chain_kernel, mode=mode, gA=gA, gB=gB, nbA=nbA,
+                     nbB=nbB, bandsA=bandsA, bandsB=bandsB,
+                     out_bits=out_bits, noise=noise, thr_k=thr_k,
+                     chain=chain)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(chain * L,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    return call, (tmA, tkA), (tmB, tkB)
+
+
+def iteration_chain_pallas_eligible(Phi, PhiT, y, x, k) -> bool:
+    """Chained launch eligibility: the single-iteration conditions plus
+    an in-kernel-thresholdable x (whole vector in one tile)."""
+    if not iteration_pallas_eligible(Phi, PhiT, y, x):
+        return False
+    if k is not None and not (0 < int(k) < Phi.cols):
+        return False
+    return Phi.cols_pad // BLOCK <= 128
+
+
+def iteration_chain_pallas(Phi, PhiT, y, x, mu, k, seeds8, chain=2):
+    """``chain`` full IHT/GD iterations (threshold included when k is
+    given) in ONE launch.  ``seeds8``: 4 per-op seeds per iteration
+    (models/solvers._op_seeds per iteration), or Nones.  The per-leg
+    requant numerics are bit-identical to the unchained
+    iteration_pallas; the in-kernel threshold matches ops.threshold up
+    to the phase-C tie-bit caveat (docstring)."""
+    mode = _mode(Phi, x)
+    out_bits = 4 if mode == "4x4" else 8
+    sn = [seed_from(kk) for kk in seeds8]
+    seedv = jnp.concatenate([s for s, _ in sn])
+    noise = tuple(n for _, n in sn)
+    assert noise[:4] == noise[4:], "chained iterations must share SR mode"
+    call, (tmA, tkA), (tmB, tkB) = _build_chain_call(
+        mode, Phi.rows_pad, Phi.cols_pad, out_bits, noise[:4],
+        None if k is None else int(k), int(chain), pallas_interpret())
+    nbA, nbB = tkA // BLOCK, tkB // BLOCK
+    bandsA, bandsB = tmA // BLOCK, tmB // BLOCK
+    gA, gB = Phi.rows_pad // tmA, Phi.cols_pad // tmB
+    wx = HALF if mode == "4x4" else BLOCK
+    pck = HALF if out_bits == 4 else BLOCK
+
+    yc, ys = call(
+        seedv, jnp.asarray([mu], jnp.float32),
+        Phi.codes, x.codes.reshape(nbA, wx),
+        Phi.scales, x.scales.reshape(1, nbA),
+        y.codes.reshape(gA, bandsA, pck), y.scales.reshape(gA, bandsA, 1),
+        PhiT.codes, PhiT.scales,
+        x.codes.reshape(gB, bandsB, pck), x.scales.reshape(gB, bandsB, 1),
+    )
+    out_cls = QVec4 if out_bits == 4 else QVec8
+    return out_cls(codes=yc.reshape(-1), scales=ys.reshape(-1),
+                   length=Phi.cols)
 
 
 def iteration_pallas_eligible(Phi, PhiT, y, x) -> bool:

@@ -93,10 +93,42 @@ def _iteration(Phi, PhiT, y, x, mu, k, seed):
 
 @partial(jax.jit, static_argnames=("iterations", "k"))
 def _solve(Phi, PhiT, y, x0, x_star, iterations: int, k, mu, key):
-    from ..kernels.dispatch import SEED_GOLD, seed_from
+    import os
+    from ..kernels.dispatch import SEED_GOLD, pallas_enabled, seed_from
     xs32 = x_star.values if x_star is not None else None
     xs_norm = (jnp.linalg.norm(xs32) if xs32 is not None else None)
     seed0 = seed_from(key)[0] if key is not None else None
+
+    # Chained fast path: TWO whole iterations (threshold included) per
+    # pallas launch (kernels/iteration.iteration_chain_pallas) — the
+    # small-problem regime's per-launch ramp + inter-launch scheduling
+    # amortize across both.  Only for untraced solves (x_star is None):
+    # the intermediate x never materializes, so no per-iteration error.
+    from ..kernels.iteration import (iteration_chain_pallas,
+                                     iteration_chain_pallas_eligible)
+    if (xs32 is None and iterations >= 2
+            and os.environ.get("CLOVER_ITER_CHAIN", "1") == "1"
+            and pallas_enabled()
+            and iteration_chain_pallas_eligible(Phi, PhiT, y, x0, k)):
+        def body2(x, it2):
+            if seed0 is not None:
+                b0 = seed0 + (2 * it2) * jnp.int32(SEED_GOLD)
+                b1 = seed0 + (2 * it2 + 1) * jnp.int32(SEED_GOLD)
+                seeds8 = _op_seeds(b0) + _op_seeds(b1)
+            else:
+                seeds8 = (None,) * 8
+            return (iteration_chain_pallas(Phi, PhiT, y, x, mu, k,
+                                           seeds8),
+                    jnp.float32(0))
+
+        x, trace = jax.lax.scan(body2, x0,
+                                jnp.arange(iterations // 2,
+                                           dtype=jnp.int32))
+        if iterations % 2:           # odd tail: one unchained iteration
+            seed = (seed0 + (iterations - 1) * jnp.int32(SEED_GOLD)
+                    if seed0 is not None else None)
+            x = _iteration(Phi, PhiT, y, x, mu, k, seed)
+        return SolveResult(x=x, trace=jnp.zeros(iterations, jnp.float32))
 
     def body(x, it):
         seed = seed0 + it * jnp.int32(SEED_GOLD) if seed0 is not None else None

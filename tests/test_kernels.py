@@ -512,3 +512,58 @@ def test_dma_probe_stream_stacking(rng):
     assert nbytes == p * q.codes.nbytes
     assert np.isfinite(mk(3)())
     assert np.isfinite(launch_probe()(3)())
+
+
+@pytest.mark.parametrize("mb,vb", [(4, 4), (4, 8)])
+@pytest.mark.parametrize("k", [64, None])
+def test_iteration_chain_kernel(rng, mb, vb, k):
+    """Two chained iterations + in-kernel thresholds (one launch) ==
+    the unchained sequence [iteration_pallas -> ct.threshold] x 2,
+    bitwise (deterministic, single-tile phases — the interpret-mode
+    caveat of test_iteration_kernel_bitexact applies)."""
+    from clover_tpu.kernels.iteration import (
+        iteration_chain_pallas, iteration_chain_pallas_eligible,
+        iteration_pallas)
+    m, n = 512, 1024
+    qPhi, qPhiT, qy, qx = _mk_iter_problem(rng, m, n, mb, vb)
+    assert iteration_chain_pallas_eligible(qPhi, qPhiT, qy, qx, k)
+    mu = 1e-3
+    got = iteration_chain_pallas(qPhi, qPhiT, qy, qx, mu, k,
+                                 (None,) * 8)
+    x = qx
+    for _ in range(2):
+        x = iteration_pallas(qPhi, qPhiT, qy, x, mu)
+        if k is not None:
+            x = ct.threshold(x, k)
+    np.testing.assert_array_equal(np.asarray(got.codes),
+                                  np.asarray(x.codes))
+    np.testing.assert_array_equal(np.asarray(got.scales),
+                                  np.asarray(x.scales))
+
+
+def test_solver_chain_dispatch(rng):
+    """_solve uses the chained kernel for untraced even-iteration solves
+    and the result matches the unchained path (CLOVER_ITER_CHAIN=0)
+    bitwise in deterministic mode."""
+    import os
+    from clover_tpu.models import solvers
+    qPhi, qPhiT, qy, qx = _mk_iter_problem(rng, 512, 1024, 4, 4)
+    old = os.environ.get("CLOVER_ITER_CHAIN")
+    try:
+        os.environ["CLOVER_ITER_CHAIN"] = "1"
+        # force kernels on (CPU suite defaults them off)
+        os.environ["CLOVER_PALLAS"] = "1"
+        solvers._solve.clear_cache()
+        a = solvers.iht(qPhi, qPhiT, qy, 4, 64, 1e-3, key=None)
+        os.environ["CLOVER_ITER_CHAIN"] = "0"
+        solvers._solve.clear_cache()
+        b = solvers.iht(qPhi, qPhiT, qy, 4, 64, 1e-3, key=None)
+        np.testing.assert_array_equal(np.asarray(a.x.codes),
+                                      np.asarray(b.x.codes))
+    finally:
+        os.environ.pop("CLOVER_PALLAS", None)
+        if old is None:
+            os.environ.pop("CLOVER_ITER_CHAIN", None)
+        else:
+            os.environ["CLOVER_ITER_CHAIN"] = old
+        solvers._solve.clear_cache()
