@@ -189,15 +189,22 @@ def _iter_kernel(seed_ref, mu_ref, aA_ref, xcA_ref, ascA_ref, xscA_ref,
 
 def _geom(mode: str, m_pad: int, n_pad: int):
     """Both legs' (tm, tk) if each is single-k-tile + flat-scales, else
-    None.  Leg A: (m_pad, n_pad); leg B: the transposed matrix."""
+    None.  Leg A: (m_pad, n_pad); leg B: the transposed matrix.
+
+    Bands per row tile must be a multiple of 8: the t2/x scratch stores
+    at dynamic offsets ``i * bands`` need sublane-tile-aligned strides
+    (Mosaic: "cannot statically prove that index in dimension 0 is a
+    multiple of 4" for the int8 stash at bands=2 — found by the r4 TPU
+    -v run at 128x128).  Sub-512-row matrices fall back to the
+    two-launch path, where the fusion gains nothing anyway."""
     out = []
     for (mp, np_) in ((m_pad, n_pad), (n_pad, m_pad)):
         g = _pick_geometry(mp, np_, mode)
         if g is None or g[1] != np_:
             return None
         tm = g[0]
-        if (tm // BLOCK) % 8 and mp // tm != 1:
-            return None                        # flat-scales condition
+        if (tm // BLOCK) % 8:
+            return None            # flat-scales + aligned stash strides
         out.append(g)
     return tuple(out)
 
