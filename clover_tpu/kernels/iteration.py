@@ -24,11 +24,23 @@ the first launch would have written to HBM, phase B consumes them
 exactly as the second launch would have, and the SR noise draws use the
 same per-op seeds and per-tile offsets (tests/test_kernels.py).
 
-Eligible when both legs are single-k-tile (TK == cols), i.e. m_pad and
-n_pad <= 8192 — precisely the latency regime; larger solves keep the
-two-launch path, which is stream-bound there.  Reference analog: none
-(the reference's iteration is five OpenMP fork-joins); this is the
-TPU-native answer to its small-N advantage (performance.txt:561-590).
+Eligible when both legs are single-k-tile (TK == cols) with 8-aligned
+band counts, i.e. 512 <= m_pad, n_pad <= 8192 — precisely the latency
+regime; larger solves keep the two-launch path, which is stream-bound
+there.  Reference analog: none (the reference's iteration is five
+OpenMP fork-joins); this is the TPU-native answer to its small-N
+advantage (performance.txt:561-590).
+
+Round 4 adds the CHAINED kernel (iteration_chain_pallas): TWO whole
+iterations per launch, each closed by an in-kernel phase-C hard
+threshold (element-level fan-9 bisection + golden tie ranking over the
+whole x — a single tile at these sizes), with the thresholded
+codes/scales parked in VMEM scratch feeding the next iteration's
+phase-A weights and leg-B u operand.  Bit-identical on-chip to the
+unchained [iteration_pallas -> ct.threshold] x 2 sequence (det + SR);
+clean-window iteration time at 2048x4096 ~30 -> ~12.5 us (the r3
+legs-floor: 12.3 us).  models/solvers._solve dispatches to it for
+untraced solves (doc/results/run_chain_bench_r4.py).
 """
 
 from __future__ import annotations

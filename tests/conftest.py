@@ -35,3 +35,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(445560390295639063 % (2**32))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules: one process
+    cannot hold the whole suite's distinct XLA CPU executables — LLVM's
+    JIT code arena exhausts after ~6k compiles (segfault inside
+    compile_or_get_cached; the same failure mode forced the full
+    validation sweep to be chunked across processes)."""
+    yield
+    jax.clear_caches()
