@@ -555,7 +555,9 @@ def iteration_chain_pallas(Phi, PhiT, y, x, mu, k, seeds8, chain=2):
     sn = [seed_from(kk) for kk in seeds8]
     seedv = jnp.concatenate([s for s, _ in sn])
     noise = tuple(n for _, n in sn)
-    assert noise[:4] == noise[4:], "chained iterations must share SR mode"
+    assert all(noise[4 * i:4 * i + 4] == noise[:4]
+               for i in range(int(chain))), \
+        "chained iterations must share SR mode"
     call, (tmA, tkA), (tmB, tkB) = _build_chain_call(
         mode, Phi.rows_pad, Phi.cols_pad, out_bits, noise[:4],
         None if k is None else int(k), int(chain), pallas_interpret())
