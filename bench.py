@@ -59,8 +59,19 @@ def _median_time(g, *args):
     return float(np.median(ts))
 
 
-def bench_mvm_chain(qA, qx, sr: bool):
-    """Per-op time of y <- mvm(A, y) in a dependent chain."""
+def bench_mvm_chain(qA, qx, sr: bool, i4: bool = False):
+    """Per-op time of y <- mvm(A, y) in a dependent chain.
+
+    ``i4``: ride the single-int4-matmul kernel (the r5 4x4 hot path —
+    kernels/mvm.py _kernel_4x4_i4); the int4 stream view is built once
+    before the loop, exactly as models/solvers.py hoists it out of the
+    solver scan."""
+    def _a_i4(qA):
+        if not i4:
+            return None
+        from clover_tpu.kernels import mat4_i4_stream
+        return mat4_i4_stream(qA)
+
     def make(iters):
         if sr:
             # SR stream: carried int32 seed (the solvers' hot path,
@@ -69,17 +80,19 @@ def bench_mvm_chain(qA, qx, sr: bool):
             # jax.random.split per step costs ~15% of the MVM itself.
             @jax.jit
             def g(qA, qx, seed):
+                a4 = _a_i4(qA)
                 def body(i, carry):
                     x, seed = carry
-                    return (ct.mvm(qA, x, key=seed), seed + 40503)
+                    return (ct.mvm(qA, x, key=seed, a_i4=a4), seed + 40503)
                 x, _ = jax.lax.fori_loop(0, iters, body, (qx, seed))
                 return jnp.sum(x.scales)
             seed0 = jnp.asarray([12345], jnp.int32)
             return lambda: _median_time(g, qA, qx, seed0), g
         @jax.jit
         def g(qA, qx):
+            a4 = _a_i4(qA)
             def body(i, x):
-                return ct.mvm(qA, x)
+                return ct.mvm(qA, x, a_i4=a4)
             return jnp.sum(jax.lax.fori_loop(0, iters, body, qx).scales)
         return lambda: _median_time(g, qA, qx), g
 
@@ -168,8 +181,11 @@ def main():
         return sorted((_median_time(p2) - _median_time(p1)) / (K2 - K1)
                       for _ in range(3))[1]
 
-    t4_sr = bench_mvm_chain(qA4, qx4, sr=True)
-    t4_det = bench_mvm_chain(qA4, qx4, sr=False)
+    t4_sr = bench_mvm_chain(qA4, qx4, sr=True, i4=True)
+    t4_det = bench_mvm_chain(qA4, qx4, sr=False, i4=True)
+    # packed-int8 two-plane kernel (the r1-r4 headline path), kept as a
+    # detail row for cross-round continuity
+    t4_packed = bench_mvm_chain(qA4, qx4, sr=False)
     # ONE guarded headline time: the SR chain (the solver hot path), with
     # the deterministic chain as fallback if jitter drove the SR diff
     # non-positive.  Both pct and speedup derive from this same number.
@@ -186,7 +202,7 @@ def main():
     windows = [(t4, measure_dma())]
 
     def rerun_headline():
-        t = bench_mvm_chain(qA4, qx4, sr=True)
+        t = bench_mvm_chain(qA4, qx4, sr=True, i4=True)
         windows.append((t if t > 0 else t4, measure_dma()))
     t48 = bench_mvm_chain(qA4, qx8, sr=False)
     t8 = bench_mvm_chain(qA8, qx8, sr=False)
@@ -203,7 +219,7 @@ def main():
     A16 = A[:N_DETAIL, :N_DETAIL]
     qA4_16 = ct.quantize(A16, 4)
     qx4_16 = ct.quantize(x[:N_DETAIL], 4)
-    t4_16 = bench_mvm_chain(qA4_16, qx4_16, sr=False)
+    t4_16 = bench_mvm_chain(qA4_16, qx4_16, sr=False, i4=True)
     pct_16 = 100.0 * gbs(qA4_16.nbytes, t4_16) * 1e9 / HBM_ROOFLINE
     del A, A16
 
@@ -320,6 +336,7 @@ def main():
             "mvm4_det_ms": round(t4_det * 1e3, 3),
             "mvm4_window_ms": [round(w[0] * 1e3, 3) for w in windows],
             "mvm4_gbs": round(gbs(qA4.nbytes, t4), 1),
+            "mvm4_packed_kernel_gbs": round(gbs(qA4.nbytes, t4_packed), 1),
             "mvm4x8_gbs": round(gbs(qA4.nbytes, t48), 1),
             "mvm8_gbs": round(gbs(qA8.nbytes, t8), 1),
             "fp32_mvm_ms": round(t32 * 1e3, 3),

@@ -203,6 +203,37 @@ class Validator:
         return self.check(
             f"iteration {bits_a:2d}x{bits_x:2d}-bit {m}x{n}", ok)
 
+    def matrix_mvm_i4(self, rng, m, n):
+        """The single-int4-matmul 4x4 kernel (kernels/mvm.py
+        _kernel_4x4_i4, round 5) must be bit-identical to the packed
+        two-plane kernel in BOTH deterministic and SR modes — the
+        invariant that lets solvers/bench swap it in freely (TPU only:
+        interpret mode cannot lower sub-byte dtypes)."""
+        import jax
+        from ..kernels.dispatch import pallas_enabled
+        from ..kernels.mvm import (mat4_i4_stream, mvm_i4_enabled,
+                                   mvm_pallas, mvm_pallas_eligible)
+        a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+        x = (rng.random(n, dtype=np.float32) * 2 - 1)
+        qa = quantize(jnp.asarray(a), 4)
+        qx = quantize(jnp.asarray(x), 4)
+        if not (pallas_enabled() and mvm_i4_enabled()
+                and mvm_pallas_eligible(qa, qx)):
+            return True
+
+        @jax.jit
+        def run(qa, qx, seed):
+            a4 = mat4_i4_stream(qa)
+            return (mvm_pallas(qa, qx), mvm_pallas(qa, qx, a_i4=a4),
+                    mvm_pallas(qa, qx, key=seed),
+                    mvm_pallas(qa, qx, key=seed, a_i4=a4))
+        rd, gd_, rs, gs_ = run(qa, qx, jnp.asarray([4242], jnp.int32))
+        ok = all(np.array_equal(np.asarray(p.codes), np.asarray(q.codes))
+                 and np.array_equal(np.asarray(p.scales),
+                                    np.asarray(q.scales))
+                 for p, q in ((rd, gd_), (rs, gs_)))
+        return self.check(f"mvm-i4  4x 4-bit {m}x{n}", ok)
+
     def matrix_transpose(self, rng, bits, m, n):
         a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
         q = quantize(jnp.asarray(a), bits)
@@ -262,6 +293,7 @@ def run_validation(full: bool = False, seed: int = 1, log=print,
             v.matrix_mvm(rng, ba, bx, m, n)
         for (ba, bx) in ((4, 4), (4, 8)):
             v.solver_iteration(rng, ba, bx, m, n)
+        v.matrix_mvm_i4(rng, m, n)
 
     log(f"\n{v.checks} checks, {v.failures} failures")
     return v.failures == 0

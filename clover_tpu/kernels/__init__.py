@@ -15,12 +15,13 @@ so the CPU test mesh can validate their numerics.  The pure-XLA paths in
 
 from .dispatch import pallas_enabled, pallas_interpret
 from .mvm import (
-    mvm_axpy_pallas, mvm_axpy_pallas_eligible,
-    mvm_pallas, mvm_pallas_eligible, mvm_pallas_f32,
+    mat4_i4_stream, mvm_axpy_pallas, mvm_axpy_pallas_eligible,
+    mvm_i4_enabled, mvm_pallas, mvm_pallas_eligible, mvm_pallas_f32,
 )
 
 __all__ = [
     "pallas_enabled", "pallas_interpret",
-    "mvm_axpy_pallas", "mvm_axpy_pallas_eligible",
-    "mvm_pallas", "mvm_pallas_eligible", "mvm_pallas_f32",
+    "mat4_i4_stream", "mvm_axpy_pallas", "mvm_axpy_pallas_eligible",
+    "mvm_i4_enabled", "mvm_pallas", "mvm_pallas_eligible",
+    "mvm_pallas_f32",
 ]

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats import BLOCK, QMat4, QMat8, QVec4, QVec8
+from ..formats import BLOCK, QMat4, QMat8, QVec4, QVec8, unpack_nibbles
 from .dispatch import pallas_interpret, seed_from
 
 QMAX = {4: 7.0, 8: 127.0}
@@ -342,6 +342,64 @@ def _unpack_x4(xc_ref):
     return xhi, xlo
 
 
+def _kernel_4x4_i4(seed_ref, a_ref, xc_ref, ascales_ref, xscales_ref,
+                   ycodes_ref, yscales_ref, acc_ref, w4_c, *,
+                   nb, tm, out_bits, noise, flat,
+                   alpha_ref=None, uc_ref=None, us_ref=None):
+    """Pure 4-bit MVM consuming A as an int4 ELEMENT array: one int4 MXU
+    matmul per tile (the v5e MXU contracts int4 at 2x the int8 element
+    rate — measured ratio 0.516, doc/results/mvm_i4_ablation_r5.md), so
+    the MXU floor is HALF the packed-int8 kernel's two-plane-matmul
+    formulation (CloverMatrix4.h:777-1083 analog).  No int8 AND, no
+    colsum correction, no plane add: the compute mix per streamed byte
+    drops below the 8-bit kernel's, which is what keeps the rate at the
+    DMA floor under degraded chip tenancy (VERDICT r4 #1).
+
+    Requires ``A`` prepared via :func:`mat4_i4_stream` (a one-time XLA
+    relayout cached per matrix, like the reference materializing PhiT —
+    test/accuracy/02_iht_accuracy.h:72).  Scale-combine constant is
+    1/(7*7) vs the packed kernel's 1/(7*7*16); the int32 block dots are
+    identical and the constants differ by a power of two, so outputs are
+    bit-identical to the packed kernel (verified on-chip, det + SR)."""
+    i, k = pl.program_id(0), pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i == 0)          # int4 weight cache, once per k-tile
+    def _():
+        xhi, xlo = _unpack_x4(xc_ref)
+        # natural element order: block elements [0,32) are low nibbles,
+        # [32,64) high nibbles (formats.pack_nibbles)
+        ecodes = jnp.concatenate([xlo, xhi], axis=1)
+        w4_c[k] = _block_diag_i4(ecodes, nb, BLOCK)
+
+    dn = (((1,), (0,)), ((), ()))
+    mm = jax.lax.dot_general(a_ref[:], w4_c[k], dn,
+                             preferred_element_type=jnp.int32)
+    combe = _combe(ascales_ref, xscales_ref, 1.0 / (7.0 * 7.0), flat)
+    acc_ref[:] += (mm.astype(jnp.float32) * combe).reshape(
+        tm // BLOCK, BLOCK, -1)
+
+    @pl.when(k == nk - 1)
+    def _():
+        _epilogue(seed_ref, alpha_ref, uc_ref, us_ref, ycodes_ref,
+                  yscales_ref, acc_ref, out_bits, noise, i)
+
+
+def _block_diag_i4(codes, nb: int, width: int):
+    """Like :func:`_block_diag` but emitting int4 weights (in-kernel
+    int32 -> int4 convert is supported by Mosaic; int8 -> int4 lane-
+    expanding bitcast is not)."""
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (nb, width, nb), 0)
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (nb, width, nb), 2)
+    cb = jax.lax.broadcast_in_dim(codes, (nb, width, nb), (0, 1))
+    w3 = jnp.where(row_b == col_b, cb, 0)
+    return w3.reshape(nb * width, nb).astype(jnp.int4)
+
+
 def _kernel_4x4(seed_ref, a_ref, xc_ref, ascales_ref,
                 xscales_ref, ycodes_ref, yscales_ref, acc_ref, whi_c, wmix_c,
                 colsum_c, *, nb, tm, out_bits, noise, flat,
@@ -403,10 +461,13 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
                 noise, interpret: bool, fused: bool = False):
     # ``noise``: bool for the plain MVM; a static (mvm_leg, axpy_leg)
     # bool pair for the fused MVM+AXPY (both are hashable cache keys).
-    tm, tk = _pick_geometry(m_pad, n_pad, mode)
+    geo_mode = "4x4" if mode == "4x4i4" else mode
+    tm, tk = _pick_geometry(m_pad, n_pad, geo_mode)
     nb = tk // BLOCK
     gm, gk = m_pad // tm, n_pad // tk
-    ka = tk // 2 if mode in ("4x4", "4x8") else tk      # A tile k width
+    # A tile k width: packed bytes for 4-bit int8 modes, elements for the
+    # int4-array mode (same bytes either way)
+    ka = tk // 2 if mode in ("4x4", "4x8") else tk
     pck = BLOCK // 2 if out_bits == 4 else BLOCK        # codes per out block
 
     a_spec = pl.BlockSpec((tm, ka), lambda i, k, *_: (i, k),
@@ -453,9 +514,12 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
     common = dict(nb=nb, tm=tm, out_bits=out_bits, noise=noise,
                   flat=flat)
     core = {"4x4": _kernel_4x4, "4x8": _kernel_4x8,
-            "8x8": _kernel_8x8}[mode]
+            "8x8": _kernel_8x8, "4x4i4": _kernel_4x4_i4}[mode]
     kernel = partial(_fused_wrap(core) if fused else core, **common)
-    if mode == "4x4":
+    if mode == "4x4i4":
+        in_specs = [a_spec, xc_spec(HALF), ascales_spec, xscales_spec]
+        scratch = [acc_scratch, pltpu.VMEM((gk, tk, nb), jnp.int4)]
+    elif mode == "4x4":
         in_specs = [a_spec, xc_spec(HALF), ascales_spec, xscales_spec]
         scratch = [acc_scratch, w_scratch, w_scratch,
                    pltpu.VMEM((gk, 1, nb), jnp.float32)]
@@ -507,10 +571,15 @@ def _build_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
 # Entry point
 # ---------------------------------------------------------------------------
 
-def mvm_pallas(A, x, key=None):
+def mvm_pallas(A, x, key=None, a_i4=None):
     """Fused requantizing MVM on TPU.  Returns the quantized output
     container ((4,4)->4, (4,8)->8, (8,8)->8), matching the reference
-    dispatch (CloverMatrix4.h:777, :1093; CloverMatrix8.h:1002)."""
+    dispatch (CloverMatrix4.h:777, :1093; CloverMatrix8.h:1002).
+
+    ``a_i4``: optional prepared :func:`mat4_i4_stream` view of A (4x4
+    mode only) — routes to the single-int4-matmul kernel, bit-identical
+    to the packed kernel and at the DMA floor even under degraded chip
+    tenancy."""
     mode = _mode(A, x)
     assert mode is not None, (type(A), type(x))
     out_bits = {"4x4": 4, "4x8": 8, "8x8": 8}[mode]
@@ -518,12 +587,14 @@ def mvm_pallas(A, x, key=None):
 
     seed, noise = seed_from(key)
 
-    call, tm, tk, flat = _build_call(mode, m_pad, n_pad, out_bits, noise,
+    use_i4 = a_i4 is not None and mode == "4x4"
+    kmode = "4x4i4" if use_i4 else mode
+    call, tm, tk, flat = _build_call(kmode, m_pad, n_pad, out_bits, noise,
                                      pallas_interpret())
     # Per-call prep: x codes pass through PACKED/raw (unpacking happens
     # in-kernel); scales pass through as-is on the flat path.
-    xc, ascales4, xscales2 = _prep_call_args(A, x, mode, tm, tk, flat)
-    yc, ys = call(seed, A.codes, xc, ascales4, xscales2)
+    xc, ascales4, xscales2 = _prep_call_args(A, x, kmode, tm, tk, flat)
+    yc, ys = call(seed, a_i4 if use_i4 else A.codes, xc, ascales4, xscales2)
 
     codes = yc.reshape(-1)
     scales = ys.reshape(-1)
@@ -543,14 +614,48 @@ def _prep_call_args(A, x, mode, tm, tk, flat):
         xscales2 = x.scales.reshape(nkt, 1, nb)
         ascales4 = (A.scales.reshape(gm, tm // BLOCK, nkt, nb)
                     .transpose(0, 2, 1, 3))
-    if mode == "4x4":
+    if mode in ("4x4", "4x4i4"):
         xc = x.codes.reshape(nb_total, HALF)        # packed: 32 B per block
     else:
         xc = x.codes.reshape(nb_total, BLOCK)       # int8 codes per block
     return xc, ascales4, xscales2
 
 
-def mvm_axpy_pallas(A, x, u, alpha, key_mvm=None, key_axpy=None):
+# ---------------------------------------------------------------------------
+# int4 stream view (the round-5 headline path)
+# ---------------------------------------------------------------------------
+
+def mvm_i4_enabled() -> bool:
+    """The int4-array MVM path needs real Mosaic (interpret mode cannot
+    lower sub-byte types on CPU) and is on by default on TPU;
+    ``CLOVER_MVM_I4=0`` forces the packed-int8 kernel everywhere."""
+    import os
+    if os.environ.get("CLOVER_MVM_I4", "1") == "0":
+        return False
+    return not pallas_interpret()
+
+
+def mat4_i4_stream(A) -> jax.Array:
+    """Packed QMat4 codes -> (m_pad, n_pad) jnp.int4 element array.
+
+    The prepared stream operand for the int4 MVM kernel: same HBM bytes
+    as the packed codes (XLA packs int4 2/byte, layout T(64,128)(8,1)),
+    values in natural element order.  Build it ONCE per matrix inside
+    the jit that consumes it (solvers hoist it out of their scan;
+    the reference analogously materializes PhiT up front,
+    test/accuracy/02_iht_accuracy.h:72).
+
+    Caveat (this jax/axon build): committed int4 arrays cannot be passed
+    ACROSS a jit boundary (device_put relayout recursion), so the view
+    cannot be cached on the container eagerly — always derive it inside
+    the consuming jit.
+    """
+    assert isinstance(A, QMat4), type(A)
+    return unpack_nibbles(A.codes).astype(jnp.int4)
+
+
+def mvm_axpy_pallas(A, x, u, alpha, key_mvm=None, key_axpy=None,
+                    a_i4=None):
     """r = Q(restore(u) + alpha * restore(Q(A @ x))) in ONE kernel.
 
     The IHT/GD iteration's ``t2 = y - t1`` and ``x += mu*t3`` steps
@@ -569,14 +674,17 @@ def mvm_axpy_pallas(A, x, u, alpha, key_mvm=None, key_axpy=None):
     s1, n1 = seed_from(key_mvm)
     s2, n2 = seed_from(key_axpy)
     seeds = jnp.concatenate([s1, s2])
-    call, tm, tk, flat = _build_call(mode, m_pad, n_pad, out_bits, (n1, n2),
+    use_i4 = a_i4 is not None and mode == "4x4"
+    kmode = "4x4i4" if use_i4 else mode
+    call, tm, tk, flat = _build_call(kmode, m_pad, n_pad, out_bits, (n1, n2),
                                      pallas_interpret(), fused=True)
-    xc, ascales4, xscales2 = _prep_call_args(A, x, mode, tm, tk, flat)
+    xc, ascales4, xscales2 = _prep_call_args(A, x, kmode, tm, tk, flat)
     gm = m_pad // tm
     pck = HALF if out_bits == 4 else BLOCK
     uc3 = u.codes.reshape(gm, tm // BLOCK, pck)
     us3 = u.scales.reshape(gm, tm // BLOCK, 1)
-    yc, ys = call(seeds, jnp.asarray([alpha], jnp.float32), A.codes, xc,
+    yc, ys = call(seeds, jnp.asarray([alpha], jnp.float32),
+                  a_i4 if use_i4 else A.codes, xc,
                   ascales4, xscales2, uc3, us3)
     out_cls = QVec4 if out_bits == 4 else QVec8
     return out_cls(codes=yc.reshape(-1), scales=ys.reshape(-1),
@@ -594,7 +702,7 @@ def mvm_axpy_pallas_eligible(A, x, u) -> bool:
     return _pick_geometry(A.rows_pad, A.cols_pad, mode) is not None
 
 
-def mvm_pallas_f32(A, x) -> jax.Array:
+def mvm_pallas_f32(A, x, a_i4=None) -> jax.Array:
     """Fused MVM returning the padded f32 result (no output requant).
 
     This is the kernel the sharded path runs per shard: partials are
@@ -608,8 +716,10 @@ def mvm_pallas_f32(A, x) -> jax.Array:
     assert mode is not None, (type(A), type(x))
     m_pad, n_pad = A.rows_pad, A.cols_pad
     seed = jnp.zeros((1,), jnp.int32)
-    call, tm, tk, flat = _build_call(mode, m_pad, n_pad, 32, False,
+    use_i4 = a_i4 is not None and mode == "4x4"
+    kmode = "4x4i4" if use_i4 else mode
+    call, tm, tk, flat = _build_call(kmode, m_pad, n_pad, 32, False,
                                      pallas_interpret())
-    xc, ascales4, xscales2 = _prep_call_args(A, x, mode, tm, tk, flat)
-    yc, _ = call(seed, A.codes, xc, ascales4, xscales2)
+    xc, ascales4, xscales2 = _prep_call_args(A, x, kmode, tm, tk, flat)
+    yc, _ = call(seed, a_i4 if use_i4 else A.codes, xc, ascales4, xscales2)
     return yc.reshape(-1)

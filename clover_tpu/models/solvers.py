@@ -68,7 +68,7 @@ def _op_seeds(key_or_seed, n: int = 4):
     return tuple(seed + jnp.int32((j + 1) * SEED_OP) for j in range(n))
 
 
-def _iteration(Phi, PhiT, y, x, mu, k, seed):
+def _iteration(Phi, PhiT, y, x, mu, k, seed, a_i4s=(None, None)):
     # Each MVM's scaleAndAdd rides the MVM kernel's epilogue (fused
     # MVM+AXPY, kernels/mvm.py): the quantized intermediates t1/t3 never
     # touch HBM and the iteration is two launches plus the threshold.
@@ -84,8 +84,10 @@ def _iteration(Phi, PhiT, y, x, mu, k, seed):
     if pallas_enabled() and iteration_pallas_eligible(Phi, PhiT, y, x):
         x = iteration_pallas(Phi, PhiT, y, x, mu, (k1, k2, k3, k4))
     else:
-        t2 = mvm_axpy(Phi, x, y, -1.0, key_mvm=k1, key_axpy=k2)  # y - Phi x
-        x = mvm_axpy(PhiT, t2, x, mu, key_mvm=k3, key_axpy=k4)   # x+mu Phi't2
+        t2 = mvm_axpy(Phi, x, y, -1.0, key_mvm=k1, key_axpy=k2,
+                      a_i4=a_i4s[0])                             # y - Phi x
+        x = mvm_axpy(PhiT, t2, x, mu, key_mvm=k3, key_axpy=k4,
+                     a_i4=a_i4s[1])                              # x+mu Phi't2
     if k is not None:
         x = threshold(x, k)
     return x
@@ -130,9 +132,27 @@ def _solve(Phi, PhiT, y, x0, x_star, iterations: int, k, mu, key):
             x = _iteration(Phi, PhiT, y, x, mu, k, seed)
         return SolveResult(x=x, trace=jnp.zeros(iterations, jnp.float32))
 
+    # Pure-4-bit solves on the two-launch mvm_axpy path (the large-size
+    # regime the iteration kernel doesn't cover): build the int4 stream
+    # views of Phi/PhiT ONCE, hoisted out of the scan — the iterations
+    # then ride the single-int4-matmul kernel at the DMA floor
+    # (kernels/mvm.py _kernel_4x4_i4; the reference analogously
+    # materializes PhiT up front, test/accuracy/02_iht_accuracy.h:72).
+    from ..formats import QMat4
+    from ..kernels.iteration import iteration_pallas_eligible
+    from ..kernels.mvm import (mat4_i4_stream, mvm_axpy_pallas_eligible,
+                               mvm_i4_enabled)
+    a_i4s = (None, None)
+    if (pallas_enabled() and mvm_i4_enabled()
+            and isinstance(Phi, QMat4) and y.bits == 4
+            and not iteration_pallas_eligible(Phi, PhiT, y, x0)
+            and mvm_axpy_pallas_eligible(Phi, x0, y)
+            and mvm_axpy_pallas_eligible(PhiT, y, x0)):
+        a_i4s = (mat4_i4_stream(Phi), mat4_i4_stream(PhiT))
+
     def body(x, it):
         seed = seed0 + it * jnp.int32(SEED_GOLD) if seed0 is not None else None
-        x = _iteration(Phi, PhiT, y, x, mu, k, seed)
+        x = _iteration(Phi, PhiT, y, x, mu, k, seed, a_i4s)
         if xs32 is not None:
             err = jnp.linalg.norm(restore_vec(x).values - xs32) / xs_norm
         else:

@@ -74,20 +74,21 @@ def mvm_f32(A, x) -> jax.Array:
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def mvm_f32_fast(A, x) -> jax.Array:
+def mvm_f32_fast(A, x, a_i4=None) -> jax.Array:
     """Like :func:`mvm_f32` but dispatched to the fused Pallas kernel's
     f32-output mode on TPU (kernels/mvm.py mvm_pallas_f32).  The sharded
     path (parallel/ops.mvm_psum) uses this per shard so real multi-chip
     MVMs run the fused kernel, not the portable XLA path; ``mvm_f32``
     itself stays pure-XLA because the validation harness uses it as the
-    independent reference implementation."""
+    independent reference implementation.  ``a_i4``: optional prepared
+    int4 stream view (kernels.mat4_i4_stream) for the 4x4 path."""
     from ..kernels import mvm_pallas_eligible, mvm_pallas_f32, pallas_enabled
     if pallas_enabled() and mvm_pallas_eligible(A, x):
-        return mvm_pallas_f32(A, x)
+        return mvm_pallas_f32(A, x, a_i4=a_i4)
     return mvm_f32(A, x)
 
 
-def mvm(A, x, key=None):
+def mvm(A, x, key=None, a_i4=None):
     """Fused MVM: y = requantize_by_band(A @ x).
 
     Output precision follows the reference dispatch table:
@@ -95,17 +96,21 @@ def mvm(A, x, key=None):
 
     On TPU the quantized-int combinations run as a single fused Pallas
     kernel (clover_tpu/kernels/mvm.py); everywhere else (and for fp
-    precisions) the portable XLA path below is used.
+    precisions) the portable XLA path below is used.  For repeated 4x4
+    MVMs against the same matrix inside one jit, pass
+    ``a_i4=kernels.mat4_i4_stream(A)`` (hoisted out of the loop by XLA)
+    to ride the single-int4-matmul kernel — bit-identical output, MXU
+    floor halved.
     """
     from ..kernels import mvm_pallas, mvm_pallas_eligible, pallas_enabled
     if pallas_enabled() and mvm_pallas_eligible(A, x):
-        return mvm_pallas(A, x, key)
+        return mvm_pallas(A, x, key, a_i4=a_i4)
     y32 = mvm_f32(A, x)
     out_bits = _out_bits(A, x)
     return _requant_output(y32, A.rows, out_bits, key)
 
 
-def mvm_axpy(A, x, u, alpha, key_mvm=None, key_axpy=None):
+def mvm_axpy(A, x, u, alpha, key_mvm=None, key_axpy=None, a_i4=None):
     """r = scale_and_add(u, mvm(A, x), alpha) with the AXPY fused behind
     the MVM's band requant on TPU (one launch instead of two; the
     intermediate quantized MVM result never touches HBM).  Deterministic
@@ -121,7 +126,8 @@ def mvm_axpy(A, x, u, alpha, key_mvm=None, key_axpy=None):
     from ..kernels import (
         mvm_axpy_pallas, mvm_axpy_pallas_eligible, pallas_enabled)
     if pallas_enabled() and mvm_axpy_pallas_eligible(A, x, u):
-        return mvm_axpy_pallas(A, x, u, alpha, key_mvm, key_axpy)
+        return mvm_axpy_pallas(A, x, u, alpha, key_mvm, key_axpy,
+                               a_i4=a_i4)
     from .axpy import scale_and_add
     return scale_and_add(u, mvm(A, x, key=key_mvm), alpha, key=key_axpy)
 
