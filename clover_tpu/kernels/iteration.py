@@ -54,12 +54,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import BLOCK, QVec4, QVec8
 from .dispatch import pallas_interpret, seed_from
-from .mvm import (HALF, QMAX, _band_sr, _block_diag, _mode, _pick_geometry,
-                  _unoise, _unpack_x4, _write_codes)
+from .mvm import (HALF, QMAX, _band_sr, _block_diag, _block_diag_i4, _mode,
+                  _pick_geometry, _unoise, _unpack_x4, _write_codes)
 
+# "4x4i4": the round-5 int4-array variant of the 4x4 legs — ONE int4
+# MXU matmul per tile (kernels/mvm.py _kernel_4x4_i4), engaged when the
+# solver passes prepared mat4_i4_stream views of Phi/PhiT.  The scale
+# constant is the packed kernel's /16-free form; outputs bit-identical
+# (power-of-two constant shift, same int32 dots).
 _SCALE_CONST = {"4x4": 1.0 / (7.0 * 7.0 * 16.0),
+                "4x4i4": 1.0 / (7.0 * 7.0),
                 "4x8": 1.0 / (7.0 * 127.0),
                 "8x8": 1.0 / (127.0 * 127.0)}
+
+# single-weight-cache modes (one matmul per tile, no colsum)
+_ONE_W = ("8x8", "4x4i4")
 
 
 def _build_weights(mode: str, codes, nb: int, whi, wlo_or_mix, cs):
@@ -70,6 +79,10 @@ def _build_weights(mode: str, codes, nb: int, whi, wlo_or_mix, cs):
         whi[:] = _block_diag(xhi, nb, HALF)
         wlo_or_mix[:] = _block_diag(16 * xlo - xhi, nb, HALF)
         cs[:] = jnp.sum(xlo, axis=1, keepdims=True).astype(jnp.float32).T
+    elif mode == "4x4i4":
+        xhi, xlo = _unpack_x4(codes)
+        ecodes = jnp.concatenate([xlo, xhi], axis=1)    # element order
+        whi[:] = _block_diag_i4(ecodes, nb, BLOCK)
     elif mode == "4x8":
         xlo = codes[:, :HALF]
         xhi = codes[:, HALF:]
@@ -85,6 +98,10 @@ def _compute_t(mode: str, p, whi, wlo_or_mix, cs):
     """Exact blocked integer dot tile -> f32[tm, nb] (pre-scale-combine;
     same expressions as kernels/mvm.py so outputs match bit-for-bit)."""
     dn = (((1,), (0,)), ((), ()))
+    if mode == "4x4i4":
+        mm = jax.lax.dot_general(p, whi[:], dn,
+                                 preferred_element_type=jnp.int32)
+        return mm.astype(jnp.float32)
     if mode == "4x4":
         lou = jnp.bitwise_and(p, jnp.int8(0x0F))
         mm1 = jax.lax.dot_general(p, whi[:], dn,
@@ -157,7 +174,7 @@ def _iter_kernel(seed_ref, mu_ref, aA_ref, xcA_ref, ascA_ref, xscA_ref,
                  ucA_ref, usA_ref, aB_ref, ascB_ref, ucB_ref, usB_ref,
                  oc_ref, os_ref, *scratch,
                  mode, gA, nbA, nbB, bandsA, bandsB, out_bits, noise):
-    if mode == "8x8":
+    if mode in _ONE_W:
         wAhi, wBhi, accA, accB, t2c, t2s = scratch
         wAmix = wBmix = csA = csB = None
     else:
@@ -228,10 +245,10 @@ def _build_iter_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
     gA, gB = m_pad // tmA, n_pad // tmB
     nbA, nbB = tkA // BLOCK, tkB // BLOCK
     bandsA, bandsB = tmA // BLOCK, tmB // BLOCK
-    packed_mat = mode in ("4x4", "4x8")
+    packed_mat = mode in ("4x4", "4x8")        # int8 bytes; i4 = elements
     kaA = tkA // 2 if packed_mat else tkA
     kaB = tkB // 2 if packed_mat else tkB
-    wx = HALF if mode == "4x4" else BLOCK      # x codes tile width
+    wx = HALF if mode in ("4x4", "4x4i4") else BLOCK   # x codes tile width
     pck = HALF if out_bits == 4 else BLOCK     # codes per 64-out block
 
     def ia(i, *_):                             # leg-A row tile, clamped
@@ -274,7 +291,10 @@ def _build_iter_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
     t2s = pltpu.VMEM((nbB, 1), jnp.float32)
     accA = pltpu.VMEM((bandsA, BLOCK, nbA), jnp.float32)
     accB = pltpu.VMEM((bandsB, BLOCK, nbB), jnp.float32)
-    if mode == "8x8":
+    if mode == "4x4i4":
+        scratch = [pltpu.VMEM((kaA, nbA), jnp.int4),
+                   pltpu.VMEM((kaB, nbB), jnp.int4), accA, accB, t2c, t2s]
+    elif mode == "8x8":
         scratch = [pltpu.VMEM((kaA, nbA), jnp.int8),
                    pltpu.VMEM((kaB, nbB), jnp.int8), accA, accB, t2c, t2s]
     else:
@@ -355,8 +375,12 @@ def _chain_kernel(seed_ref, mu_ref, aA_ref, xcA_ref, ascA_ref, xscA_ref,
     reserved for non-traced solves (models/solvers dispatch), so
     accuracy-protocol trajectories are unaffected."""
     from .threshold import _bisect9
-    (wAhi, wAmix, csA, wBhi, wBmix, csB, accA, accB, t2c, t2s,
-     xq, xs2, xpk, xscn) = scratch
+    if mode in _ONE_W:
+        (wAhi, wBhi, accA, accB, t2c, t2s, xq, xs2, xpk, xscn) = scratch
+        wAmix = wBmix = csA = csB = None
+    else:
+        (wAhi, wAmix, csA, wBhi, wBmix, csB, accA, accB, t2c, t2s,
+         xq, xs2, xpk, xscn) = scratch
     L = gA + gB + 1
     i = pl.program_id(0)
     it = i // L
@@ -449,10 +473,10 @@ def _build_chain_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
     gA, gB = m_pad // tmA, n_pad // tmB
     nbA, nbB = tkA // BLOCK, tkB // BLOCK
     bandsA, bandsB = tmA // BLOCK, tmB // BLOCK
-    packed_mat = mode in ("4x4", "4x8")
+    packed_mat = mode in ("4x4", "4x8")        # int8 bytes; i4 = elements
     kaA = tkA // 2 if packed_mat else tkA
     kaB = tkB // 2 if packed_mat else tkB
-    wx = HALF if mode == "4x4" else BLOCK
+    wx = HALF if mode in ("4x4", "4x4i4") else BLOCK
     pck = HALF if out_bits == 4 else BLOCK
     L = gA + gB + 1
     R = gB * bandsB                                  # = n_pad // 64
@@ -496,12 +520,18 @@ def _build_chain_call(mode: str, m_pad: int, n_pad: int, out_bits: int,
         jax.ShapeDtypeStruct((gB, bandsB, pck), jnp.int8),
         jax.ShapeDtypeStruct((gB, bandsB, 1), jnp.float32),
     ]
-    scratch = [pltpu.VMEM((kaA, nbA), jnp.int8),
-               pltpu.VMEM((kaA, nbA), jnp.int8),
-               pltpu.VMEM((1, nbA), jnp.float32),
-               pltpu.VMEM((kaB, nbB), jnp.int8),
-               pltpu.VMEM((kaB, nbB), jnp.int8),
-               pltpu.VMEM((1, nbB), jnp.float32),
+    if mode in _ONE_W:
+        wdt = jnp.int4 if mode == "4x4i4" else jnp.int8
+        scratch = [pltpu.VMEM((kaA, nbA), wdt),
+                   pltpu.VMEM((kaB, nbB), wdt)]
+    else:
+        scratch = [pltpu.VMEM((kaA, nbA), jnp.int8),
+                   pltpu.VMEM((kaA, nbA), jnp.int8),
+                   pltpu.VMEM((1, nbA), jnp.float32),
+                   pltpu.VMEM((kaB, nbB), jnp.int8),
+                   pltpu.VMEM((kaB, nbB), jnp.int8),
+                   pltpu.VMEM((1, nbB), jnp.float32)]
+    scratch += [
                pltpu.VMEM((bandsA, BLOCK, nbA), jnp.float32),
                pltpu.VMEM((bandsB, BLOCK, nbB), jnp.float32),
                pltpu.VMEM((nbB, pck), jnp.int8),        # t2c
@@ -543,15 +573,20 @@ def iteration_chain_pallas_eligible(Phi, PhiT, y, x, k) -> bool:
     return Phi.cols_pad // BLOCK <= 128
 
 
-def iteration_chain_pallas(Phi, PhiT, y, x, mu, k, seeds8, chain=2):
+def iteration_chain_pallas(Phi, PhiT, y, x, mu, k, seeds8, chain=2,
+                           a_i4s=(None, None)):
     """``chain`` full IHT/GD iterations (threshold included when k is
     given) in ONE launch.  ``seeds8``: 4 per-op seeds per iteration
     (models/solvers._op_seeds per iteration), or Nones.  The per-leg
     requant numerics are bit-identical to the unchained
     iteration_pallas; the in-kernel threshold matches ops.threshold up
-    to the phase-C tie-bit caveat (docstring)."""
+    to the phase-C tie-bit caveat (docstring).  ``a_i4s``: prepared
+    int4 stream views of (Phi, PhiT) — 4x4 solves then run each leg as
+    ONE int4 matmul per tile (bit-identical)."""
     mode = _mode(Phi, x)
     out_bits = 4 if mode == "4x4" else 8
+    use_i4 = mode == "4x4" and a_i4s[0] is not None and a_i4s[1] is not None
+    kmode = "4x4i4" if use_i4 else mode
     sn = [seed_from(kk) for kk in seeds8]
     seedv = jnp.concatenate([s for s, _ in sn])
     noise = tuple(n for _, n in sn)
@@ -559,7 +594,7 @@ def iteration_chain_pallas(Phi, PhiT, y, x, mu, k, seeds8, chain=2):
                for i in range(int(chain))), \
         "chained iterations must share SR mode"
     call, (tmA, tkA), (tmB, tkB) = _build_chain_call(
-        mode, Phi.rows_pad, Phi.cols_pad, out_bits, noise[:4],
+        kmode, Phi.rows_pad, Phi.cols_pad, out_bits, noise[:4],
         None if k is None else int(k), int(chain), pallas_interpret())
     nbA, nbB = tkA // BLOCK, tkB // BLOCK
     bandsA, bandsB = tmA // BLOCK, tmB // BLOCK
@@ -569,10 +604,10 @@ def iteration_chain_pallas(Phi, PhiT, y, x, mu, k, seeds8, chain=2):
 
     yc, ys = call(
         seedv, jnp.asarray([mu], jnp.float32),
-        Phi.codes, x.codes.reshape(nbA, wx),
+        a_i4s[0] if use_i4 else Phi.codes, x.codes.reshape(nbA, wx),
         Phi.scales, x.scales.reshape(1, nbA),
         y.codes.reshape(gA, bandsA, pck), y.scales.reshape(gA, bandsA, 1),
-        PhiT.codes, PhiT.scales,
+        a_i4s[1] if use_i4 else PhiT.codes, PhiT.scales,
         x.codes.reshape(gB, bandsB, pck), x.scales.reshape(gB, bandsB, 1),
     )
     out_cls = QVec4 if out_bits == 4 else QVec8
@@ -605,20 +640,24 @@ def iteration_pallas_eligible(Phi, PhiT, y, x) -> bool:
     return _geom(mode, Phi.rows_pad, Phi.cols_pad) is not None
 
 
-def iteration_pallas(Phi, PhiT, y, x, mu, seeds=(None,) * 4):
+def iteration_pallas(Phi, PhiT, y, x, mu, seeds=(None,) * 4,
+                     a_i4s=(None, None)):
     """x' = Q(x + mu * Q(PhiT @ Q(y - Q(Phi @ x)))) in ONE launch.
 
     ``seeds``: the iteration's four per-op SR seeds (legA mvm/axpy,
     legB mvm/axpy — models/solvers._op_seeds); None entries run that
     requant deterministically.  Bit-identical to the two-launch
-    mvm_axpy_pallas sequence for the same seeds."""
+    mvm_axpy_pallas sequence for the same seeds.  ``a_i4s``: prepared
+    int4 stream views of (Phi, PhiT) for the 4x4 single-matmul legs."""
     mode = _mode(Phi, x)
     out_bits = 4 if mode == "4x4" else 8
+    use_i4 = mode == "4x4" and a_i4s[0] is not None and a_i4s[1] is not None
+    kmode = "4x4i4" if use_i4 else mode
     sn = [seed_from(k) for k in seeds]
     seed4 = jnp.concatenate([s for s, _ in sn])
     noise = tuple(n for _, n in sn)
     call, (tmA, tkA), (tmB, tkB) = _build_iter_call(
-        mode, Phi.rows_pad, Phi.cols_pad, out_bits, noise,
+        kmode, Phi.rows_pad, Phi.cols_pad, out_bits, noise,
         pallas_interpret())
     nbA, nbB = tkA // BLOCK, tkB // BLOCK
     bandsA, bandsB = tmA // BLOCK, tmB // BLOCK
@@ -628,10 +667,10 @@ def iteration_pallas(Phi, PhiT, y, x, mu, seeds=(None,) * 4):
 
     yc, ys = call(
         seed4, jnp.asarray([mu], jnp.float32),
-        Phi.codes, x.codes.reshape(nbA, wx),
+        a_i4s[0] if use_i4 else Phi.codes, x.codes.reshape(nbA, wx),
         Phi.scales, x.scales.reshape(1, nbA),
         y.codes.reshape(gA, bandsA, pck), y.scales.reshape(gA, bandsA, 1),
-        PhiT.codes, PhiT.scales,
+        a_i4s[1] if use_i4 else PhiT.codes, PhiT.scales,
         x.codes.reshape(gB, bandsB, pck), x.scales.reshape(gB, bandsB, 1),
     )
     out_cls = QVec4 if out_bits == 4 else QVec8

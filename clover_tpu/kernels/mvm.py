@@ -83,7 +83,7 @@ def _pick_geometry(m_pad: int, n_pad: int, mode: str):
     the slot saving it buys.
     """
     import os
-    pack = 2 if mode in ("4x4", "4x8") else 1
+    pack = 2 if mode in ("4x4", "4x8", "4x4i4") else 1
     env_tm = os.environ.get("CLOVER_MVM_TM")
     env_tk = os.environ.get("CLOVER_MVM_TK")
     if env_tm and env_tk:

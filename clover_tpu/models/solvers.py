@@ -82,7 +82,8 @@ def _iteration(Phi, PhiT, y, x, mu, k, seed, a_i4s=(None, None)):
     from ..kernels.iteration import (iteration_pallas,
                                      iteration_pallas_eligible)
     if pallas_enabled() and iteration_pallas_eligible(Phi, PhiT, y, x):
-        x = iteration_pallas(Phi, PhiT, y, x, mu, (k1, k2, k3, k4))
+        x = iteration_pallas(Phi, PhiT, y, x, mu, (k1, k2, k3, k4),
+                             a_i4s=a_i4s)
     else:
         t2 = mvm_axpy(Phi, x, y, -1.0, key_mvm=k1, key_axpy=k2,
                       a_i4=a_i4s[0])                             # y - Phi x
@@ -100,6 +101,24 @@ def _solve(Phi, PhiT, y, x0, x_star, iterations: int, k, mu, key):
     xs32 = x_star.values if x_star is not None else None
     xs_norm = (jnp.linalg.norm(xs32) if xs32 is not None else None)
     seed0 = seed_from(key)[0] if key is not None else None
+
+    # Pure-4-bit solves: build the int4 stream views of Phi/PhiT ONCE,
+    # hoisted out of the scan — every path (whole-iteration kernel,
+    # chained kernel, two-launch mvm_axpy) then runs its legs as ONE
+    # int4 MXU matmul per tile (kernels/mvm.py _kernel_4x4_i4;
+    # bit-identical; the reference analogously materializes PhiT up
+    # front, test/accuracy/02_iht_accuracy.h:72).
+    from ..formats import QMat4
+    from ..kernels.iteration import iteration_pallas_eligible
+    from ..kernels.mvm import (mat4_i4_stream, mvm_axpy_pallas_eligible,
+                               mvm_i4_enabled)
+    a_i4s = (None, None)
+    if (pallas_enabled() and mvm_i4_enabled()
+            and isinstance(Phi, QMat4) and y.bits == 4
+            and (iteration_pallas_eligible(Phi, PhiT, y, x0)
+                 or (mvm_axpy_pallas_eligible(Phi, x0, y)
+                     and mvm_axpy_pallas_eligible(PhiT, y, x0)))):
+        a_i4s = (mat4_i4_stream(Phi), mat4_i4_stream(PhiT))
 
     # Chained fast path: TWO whole iterations (threshold included) per
     # pallas launch (kernels/iteration.iteration_chain_pallas) — the
@@ -120,7 +139,7 @@ def _solve(Phi, PhiT, y, x0, x_star, iterations: int, k, mu, key):
             else:
                 seeds8 = (None,) * 8
             return (iteration_chain_pallas(Phi, PhiT, y, x, mu, k,
-                                           seeds8),
+                                           seeds8, a_i4s=a_i4s),
                     jnp.float32(0))
 
         x, trace = jax.lax.scan(body2, x0,
@@ -129,26 +148,8 @@ def _solve(Phi, PhiT, y, x0, x_star, iterations: int, k, mu, key):
         if iterations % 2:           # odd tail: one unchained iteration
             seed = (seed0 + (iterations - 1) * jnp.int32(SEED_GOLD)
                     if seed0 is not None else None)
-            x = _iteration(Phi, PhiT, y, x, mu, k, seed)
+            x = _iteration(Phi, PhiT, y, x, mu, k, seed, a_i4s)
         return SolveResult(x=x, trace=jnp.zeros(iterations, jnp.float32))
-
-    # Pure-4-bit solves on the two-launch mvm_axpy path (the large-size
-    # regime the iteration kernel doesn't cover): build the int4 stream
-    # views of Phi/PhiT ONCE, hoisted out of the scan — the iterations
-    # then ride the single-int4-matmul kernel at the DMA floor
-    # (kernels/mvm.py _kernel_4x4_i4; the reference analogously
-    # materializes PhiT up front, test/accuracy/02_iht_accuracy.h:72).
-    from ..formats import QMat4
-    from ..kernels.iteration import iteration_pallas_eligible
-    from ..kernels.mvm import (mat4_i4_stream, mvm_axpy_pallas_eligible,
-                               mvm_i4_enabled)
-    a_i4s = (None, None)
-    if (pallas_enabled() and mvm_i4_enabled()
-            and isinstance(Phi, QMat4) and y.bits == 4
-            and not iteration_pallas_eligible(Phi, PhiT, y, x0)
-            and mvm_axpy_pallas_eligible(Phi, x0, y)
-            and mvm_axpy_pallas_eligible(PhiT, y, x0)):
-        a_i4s = (mat4_i4_stream(Phi), mat4_i4_stream(PhiT))
 
     def body(x, it):
         seed = seed0 + it * jnp.int32(SEED_GOLD) if seed0 is not None else None
