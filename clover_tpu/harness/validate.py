@@ -203,6 +203,43 @@ class Validator:
         return self.check(
             f"iteration {bits_a:2d}x{bits_x:2d}-bit {m}x{n}", ok)
 
+    def solver_chain(self, rng, bits_a, bits_x, m, n):
+        """Chained two-iteration kernel (kernels/iteration.py
+        _chain_kernel, incl. in-kernel phase-C threshold tie bits) vs
+        the unchained [iteration_pallas -> ops.threshold] x2 sequence:
+        bit-identical, det + SR (ADVICE r4 tie-bit item — Mosaic's f32
+        divide measured bit-equal to XLA's, this check keeps it pinned;
+        TPU only)."""
+        from ..kernels.dispatch import pallas_enabled
+        from ..kernels.iteration import (iteration_chain_pallas,
+                                         iteration_chain_pallas_eligible,
+                                         iteration_pallas)
+        from ..ops import threshold as op_threshold
+        a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+        yv = a @ (rng.random(n, dtype=np.float32) * 2 - 1)
+        xv = rng.random(n, dtype=np.float32) * 2 - 1
+        qa = quantize(jnp.asarray(a), bits_a)
+        qat = transpose(qa)
+        qy = quantize(jnp.asarray(yv / np.abs(yv).max()), bits_x)
+        qx = quantize(jnp.asarray(xv), bits_x)
+        k = max(1, n // 4)
+        if not (pallas_enabled()
+                and iteration_chain_pallas_eligible(qa, qat, qy, qx, k)):
+            return True
+        seeds = tuple(jnp.asarray([7 + 13 * j], jnp.int32)
+                      for j in range(8))
+        got = iteration_chain_pallas(qa, qat, qy, qx, 1e-3, k, seeds)
+        want = qx
+        for it in range(2):
+            want = iteration_pallas(qa, qat, qy, want, 1e-3,
+                                    seeds[4 * it:4 * it + 4])
+            want = op_threshold(want, k)
+        ok = (np.array_equal(np.asarray(got.codes), np.asarray(want.codes))
+              and np.array_equal(np.asarray(got.scales),
+                                 np.asarray(want.scales)))
+        return self.check(
+            f"chain2 {bits_a:2d}x{bits_x:2d}-bit {m}x{n}", ok)
+
     def matrix_mvm_i4(self, rng, m, n):
         """The single-int4-matmul 4x4 kernel (kernels/mvm.py
         _kernel_4x4_i4, round 5) must be bit-identical to the packed
@@ -293,6 +330,7 @@ def run_validation(full: bool = False, seed: int = 1, log=print,
             v.matrix_mvm(rng, ba, bx, m, n)
         for (ba, bx) in ((4, 4), (4, 8)):
             v.solver_iteration(rng, ba, bx, m, n)
+            v.solver_chain(rng, ba, bx, m, n)
         v.matrix_mvm_i4(rng, m, n)
 
     log(f"\n{v.checks} checks, {v.failures} failures")

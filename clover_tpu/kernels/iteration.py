@@ -367,13 +367,14 @@ def _chain_kernel(seed_ref, mu_ref, aA_ref, xcA_ref, ascA_ref, xscA_ref,
     the next iteration's phase A weights and leg-B u operand are built.
     x never touches HBM between iterations.
 
-    Tie-bit caveat: phase C divides s/qm in-kernel, while the
-    standalone threshold kernels pre-divide OUTSIDE (ops/threshold.py
-    note: the two divisions can differ by 1 ulp).  A flip requires two
-    distinct elements' |values| bit-equal under one rounding and not
-    the other — not observed on the solver's data; the chained path is
-    reserved for non-traced solves (models/solvers dispatch), so
-    accuracy-protocol trajectories are unaffected."""
+    Tie-bit note (ADVICE r4): phase C divides s/qm in-kernel, while the
+    standalone threshold kernels consume an XLA-pre-divided s/qm.
+    Measured on this chip (r5): Mosaic's f32 divide is bit-equal to
+    XLA's, including the exact `abs(q) * (s / qm)` expression shape vs
+    XLA-prediv + in-kernel multiply — so the tie bits are identical and
+    chained/unchained solves agree unconditionally.  The -v validation
+    mode asserts chain-vs-unchained solve parity on-chip
+    (harness/validate.py solver_chain) to keep this pinned."""
     from .threshold import _bisect9
     if mode in _ONE_W:
         (wAhi, wBhi, accA, accB, t2c, t2s, xq, xs2, xpk, xscn) = scratch

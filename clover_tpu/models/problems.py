@@ -96,16 +96,21 @@ def make_iht_problem_reference(m: int = 512, n: int = 1024, k: int = 64):
 
 
 def make_gd_problem_reference(m: int = 384, n: int = 256):
-    """Bit-exact reproduction of the reference's GD accuracy problem
-    instance (test_gd, test/accuracy/00_accuracy.cpp:93-128):
-    initialize_random_GD_values (test/performance/03_iht_gd_util.cpp) with
-    the committed data keys, the vendored AVX generator's quirk stream,
-    sequential-f64 row norms (test/accuracy/01_math.h:44-49, scale =
-    (float)(1.0/norm2) then one f32 multiply per element), and y from the
-    sequential-f64 sgemv accumulation rounded once to f32.
+    """The reference's GD accuracy problem instance (test_gd,
+    test/accuracy/00_accuracy.cpp:93-128): initialize_random_GD_values
+    (test/performance/03_iht_gd_util.cpp) with the committed data keys,
+    the vendored AVX generator's quirk stream, sequential-f64 row norms
+    (test/accuracy/01_math.h:44-49, scale = (float)(1.0/norm2) then one
+    f32 multiply per element), and y from a sequential-f64 sgemv
+    accumulation rounded once to f32.
 
-    Verified bit-identical to the from-source reference build's dump
-    (doc/results/refrun, gd_accuracy_parity_r4.md).
+    Scope of the bit-exactness claim (ADVICE r4): verified bit-identical
+    to the FROM-SOURCE reference build's dump (doc/results/refrun,
+    gd_accuracy_parity_r4.txt), whose MKL shim implements cblas_sgemv as
+    the same sequential-f64 accumulation.  A genuinely MKL-linked
+    reference binary computes y with vectorized f32 accumulation and may
+    differ in the last f32 ulps of y (Phi and x_star are unaffected —
+    they never pass through sgemv).
 
     -> (Phi f32[m,n], x_star f32[n], y f32[m]) as NumPy arrays.
     """
