@@ -444,3 +444,132 @@ def threshold4_pallas(x, k: int):
                (x.scales / 7.0).reshape(rows, GPR))
     return QVec4(codes=out[:rows].reshape(-1), scales=x.scales,
                  length=x.length)
+
+
+# ---------------------------------------------------------------------------
+# r5 hybrid building blocks: histogram + mask/pack streaming kernels
+# (selection happens in XLA between them — ops/threshold._threshold4_hybrid)
+# ---------------------------------------------------------------------------
+
+def _hist4_kernel(c_ref, h_ref):
+    xp = c_ref[:].astype(jnp.int32)
+    alo = jnp.abs(jnp.bitwise_and(xp, 15) - 8)
+    ahi = jnp.abs(jax.lax.shift_right_arithmetic(xp, 4))
+    cols = [jnp.sum((alo == c).astype(jnp.float32), axis=1, keepdims=True)
+            + jnp.sum((ahi == c).astype(jnp.float32), axis=1, keepdims=True)
+            for c in range(8)]
+    h_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+@lru_cache(maxsize=32)
+def _build_hist4(nb: int, rt: int, interpret: bool):
+    return pl.pallas_call(
+        _hist4_kernel,
+        grid=(nb // rt,),
+        in_specs=[pl.BlockSpec((rt, HALF4), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rt, 8), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+HALF4 = 32        # packed bytes per 64-block
+
+
+def hist4_geometry(npad: int):
+    nb = npad // 64
+    rt = next((r for r in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+               if nb % r == 0), None)
+    return None if rt is None else (nb, rt)
+
+
+def hist4_pallas(codes: jax.Array, npad: int) -> jax.Array:
+    """Packed 4-bit codes -> (nb, 8) f32 per-block magnitude counts
+    (column c = count of |code| == c).  One stream pass; the compressed
+    representation the r5 hybrid threshold selects tau on."""
+    nb, rt = hist4_geometry(npad)
+    call = _build_hist4(nb, rt, pallas_interpret())
+    return call(codes.reshape(nb, HALF4))
+
+
+def _mask4_kernel(c_ref, cut_ref, eqc_ref, fill_ref, o_ref, carry,
+                  *, rt):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        carry[0] = jnp.float32(0.0)
+
+    xp = c_ref[:].astype(jnp.int32)
+    lo = jnp.bitwise_and(xp, 15) - 8
+    hi = jax.lax.shift_right_arithmetic(xp, 4)
+    alo, ahi = jnp.abs(lo), jnp.abs(hi)
+    cut = cut_ref[:]                      # (rt, 1) int32
+    eqc = eqc_ref[:]
+    tlo = jnp.where(alo == eqc, 1.0, 0.0)
+    thi = jnp.where(ahi == eqc, 1.0, 0.0)
+    tf = jnp.concatenate([tlo, thi], axis=1)      # element order, f32
+    # golden tie order (|value| desc, index asc): exclusive prefix rank
+    # via triangular matmuls (exact: 0/1 entries, totals < 2^24)
+    r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 64), 0)
+    c64 = jax.lax.broadcasted_iota(jnp.int32, (64, 64), 1)
+    U = jnp.where(r64 < c64, 1.0, 0.0).astype(jnp.bfloat16)
+    intra = jax.lax.dot(tf.astype(jnp.bfloat16), U,
+                        preferred_element_type=jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
+    L = jnp.where(cc < rr, 1.0, 0.0).astype(jnp.bfloat16)
+    rowtot = jnp.sum(tf, axis=1, keepdims=True)
+    rowoff = jax.lax.dot(L, rowtot.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    rank = intra + rowoff + carry[0]
+    fill = fill_ref[0, 0]
+    keep_lo = jnp.logical_or(
+        alo > cut, jnp.logical_and(tlo > 0.0, rank[:, :HALF4] < fill))
+    keep_hi = jnp.logical_or(
+        ahi > cut, jnp.logical_and(thi > 0.0, rank[:, HALF4:] < fill))
+    carry[0] = carry[0] + jnp.sum(tf)
+    klo = jnp.where(keep_lo, lo, 0)
+    khi = jnp.where(keep_hi, hi, 0)
+    o_ref[:] = (16 * khi + (klo + 8)).astype(jnp.int8)
+
+
+@lru_cache(maxsize=32)
+def _build_mask4(nb: int, rt: int, interpret: bool):
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        partial(_mask4_kernel, rt=rt),
+        grid=(nb // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, HALF4), lambda g: (g, 0), memory_space=vm),
+            pl.BlockSpec((rt, 1), lambda g: (g, 0), memory_space=vm),
+            pl.BlockSpec((rt, 1), lambda g: (g, 0), memory_space=vm),
+            pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((rt, HALF4), lambda g: (g, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((nb, HALF4), jnp.int8),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # sequential: the tie-rank carry crosses grid steps
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def mask4_pallas(codes: jax.Array, cut: jax.Array, eqc: jax.Array,
+                 fill: jax.Array, npad: int) -> jax.Array:
+    """Apply per-block integer cutoffs + golden-order tie fill to packed
+    4-bit codes in ONE stream pass.  ``cut``/``eqc``: (nb,) int32 from
+    the compressed-multiset selector; ``fill``: f32 scalar tie budget."""
+    nb, rt = hist4_geometry(npad)
+    call = _build_mask4(nb, rt, pallas_interpret())
+    out = call(codes.reshape(nb, HALF4), cut.reshape(nb, 1),
+               eqc.reshape(nb, 1), fill.reshape(1, 1))
+    return out.reshape(-1)

@@ -19,6 +19,21 @@ def qmax(bits: int) -> float:
     return _QMAX[bits]
 
 
+def f16_rounded(x32: jax.Array) -> jax.Array:
+    """f32 -> f16 with the rounding GUARANTEED to happen.
+
+    XLA folds a convert(f32->f16) whose consumer converts straight back
+    to f32 into identity — measured on TPU: inside one jit,
+    ``x.astype(f16).astype(f32)`` returns the unrounded f32 for 99.8%
+    of random inputs.  Inside a fused solver loop that silently
+    deleted the fp16 quantization of every intermediate (t1/t2/t3),
+    leaving only the scan-carried x rounded — the round-5 root cause of
+    the 16-bit GD accuracy divergence (0.0034 plateau vs the
+    reference's 0.00097; doc/results/gd16_rootcause_r5.md).  The
+    optimization barrier pins the convert pair."""
+    return jax.lax.optimization_barrier(x32.astype(jnp.float16))
+
+
 def block_scales(x: jax.Array) -> jax.Array:
     """Per-64-block absmax of a padded 1-D f32 array; zero blocks -> 1.0."""
     xb = x.reshape(-1, BLOCK)

@@ -32,5 +32,6 @@ def scale_and_add(u, v, a, key=None):
     if isinstance(u, QVec32):
         return QVec32(values=x, length=u.length)
     if isinstance(u, QVec16):
-        return QVec16(values=x.astype(jnp.float16), length=u.length)
+        from . import _core
+        return QVec16(values=_core.f16_rounded(x), length=u.length)
     return quantize_vec(QVec32(values=x, length=u.length), u.bits, key)

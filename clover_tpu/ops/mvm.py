@@ -152,7 +152,7 @@ def _requant_output(y32: jax.Array, rows: int, out_bits: int, key):
     if out_bits == 32:
         return QVec32(values=y32, length=rows)
     if out_bits == 16:
-        return QVec16(values=y32.astype(jnp.float16), length=rows)
+        return QVec16(values=_core.f16_rounded(y32), length=rows)
     # 64-element output blocks coincide with the 64-row bands, so plain
     # vector quantization IS the band requantization of the reference.
     return quantize_vec(QVec32(values=y32, length=rows), out_bits, key)

@@ -44,7 +44,7 @@ def quantize_vec(x, bits: int, key=None):
     if bits == 32:
         return QVec32(values=xp, length=length)
     if bits == 16:
-        return QVec16(values=xp.astype(jnp.float16), length=length)
+        return QVec16(values=_core.f16_rounded(xp), length=length)
     from ..kernels import pallas_enabled
     from ..kernels.quantize import (
         quantize_vec_pallas, quantize_vec_pallas_eligible)
@@ -84,7 +84,7 @@ def quantize_mat(a, bits: int, key=None):
     if bits == 32:
         return QMat32(values=ap, rows=rows, cols=cols)
     if bits == 16:
-        return QMat16(values=ap.astype(jnp.float16), rows=rows, cols=cols)
+        return QMat16(values=_core.f16_rounded(ap), rows=rows, cols=cols)
     from ..kernels import pallas_enabled
     from ..kernels.quantize import (
         quantize_mat_pallas, quantize_mat_pallas_eligible)

@@ -177,6 +177,11 @@ def _rank_tie_mask(gt, eq, fill):
 # (97 vs ~90 us) and a regression at K=1024 (228 us).
 TAU_HIER_MAX_K = 1024
 
+# 4-bit hybrid (r5) engages at and above this padded length (crossover
+# vs the fused bisection kernel, measured v5e —
+# doc/results/threshold4_r5.md).
+HYBRID4_MIN_N = 1 << 18
+
 
 def _tau_approx_verified(ev: jax.Array, k: int, fallback):
     """tau_bits of the EXACT k-th largest value of ``ev``, via a
@@ -284,6 +289,115 @@ def _threshold4_xla(x, k: int):
                  length=x.length)
 
 
+def _threshold4_hybrid(x, k: int):
+    """Large-n 4-bit threshold (r5): exact top-k selection on the
+    8x-compressed candidate multiset + integer-cutoff masking — no
+    per-element f32 materialization and no bisection.
+
+    The r4 decomposition (doc/results/threshold4_r4.md §4) showed the
+    wide-view path spends ~25-30 us selecting tau (12 bisection levels)
+    and ~60-65 us on unpack/ev/mask/pack of n f32 elements.  Both
+    collapse on the compressed representation:
+
+    * selector: the k-th largest |value| is one of the top-min(k, |C|)
+      ENTRIES of the candidate multiset C = {c * s_b/7 : h[b,c] > 0}
+      (entry weights >= 1, and fewer than k entries lie strictly above
+      tau), so one ``lax.top_k`` over |C| ~ n/9 values + a (k, k)
+      pairwise weighted count gives tau EXACTLY — no verification
+      needed, no n-element pass.
+    * mask: within a block, |value| > tau iff |code| > cut_b where
+      cut_b counts the magnitudes c with c*(s_b/7) <= tau — an int8
+      compare per element against a per-block byte; ties are
+      |code| == eqc_b.  The f32 products c*(s_b/7) are computed ONCE
+      PER (block, magnitude) with the same expression as the wide-view
+      ev, so kept sets are bit-identical to _threshold4_xla.
+
+    Tie ranking reuses _rank_tie_mask (padding elements rank after all
+    real ties and kept zero codes write 0, so no padding mask is
+    needed in the keep mask; n_eq itself counts real elements only).
+    """
+    from ..kernels import pallas_enabled
+    from ..kernels.threshold import (hist4_geometry, hist4_pallas,
+                                     mask4_pallas)
+    npad = x.length_pad
+    nb = npad // BLOCK
+    use_kernels = pallas_enabled() and hist4_geometry(npad) is not None
+    m7 = (x.scales / 7.0).reshape(nb, 1)                # same divide as
+    cs = jnp.arange(1, 8, dtype=jnp.float32)            # restore
+    cand = cs[None, :] * m7                             # (nb, 7) == ev
+
+    if use_kernels:
+        h = hist4_pallas(x.codes, npad)[:, 1:]          # (nb, 7) exact
+    else:
+        codes = unpack_nibbles(x.codes)                 # (npad,) int8
+        a2 = jnp.abs(codes.reshape(nb, BLOCK)).astype(jnp.int8)
+        h = jnp.stack([jnp.sum((a2 == c).astype(jnp.float32), axis=1)
+                       for c in range(1, 8)], axis=1)
+    total = jnp.sum(h)
+    hflat, candflat = h.reshape(-1), cand.reshape(-1)
+
+    def na_ne(t):
+        na = jnp.sum(jnp.where(candflat > t, hflat, 0.0))
+        ne = (jnp.sum(jnp.where(candflat == t, hflat, 0.0))
+              + jnp.where(t == 0.0,
+                          jnp.float32(x.length) - total, 0.0))
+        return na, ne
+
+    # approx selector: candidate tau from the top-min(k,|C|) gathered
+    # ENTRIES (weights >= 1, so the k-th multiset value is among the
+    # top-k entries when the gather is exact), then an EXACT
+    # verification on the compressed counts; approx_max_k misses can
+    # only move tau_cand, never defeat the verification, and the rare
+    # miss falls back to the exact compressed bisection.
+    k_sel = min(k, nb * 7)
+    flat_v = jnp.where(hflat > 0, candflat, -1.0)
+    topv, topi = jax.lax.approx_max_k(flat_v, k_sel)
+    topw = hflat[topi]
+    sg = jnp.sum(jnp.where(topv[:, None] > topv[None, :],
+                           topw[:, None], 0.0), axis=0)     # (k_sel,)
+    tau_raw = jnp.min(jnp.where(sg < k, topv, jnp.inf))
+    tau_cand = jnp.where(total >= k, jnp.maximum(tau_raw, 0.0),
+                         jnp.float32(0.0))
+    na_c, ne_c = na_ne(tau_cand)
+    ok = jnp.logical_and(na_c < k, k <= na_c + ne_c)
+
+    def exact_tau(_):
+        # negative sentinels bitcast below every non-negative float and
+        # carry zero weight; degenerate small multisets yield bits 0 ==
+        # 0.0f — exactly the clamp above
+        tb = _tau_bisect(cand, h, k)[0]
+        return jax.lax.bitcast_convert_type(tb, jnp.float32)
+
+    tau = jax.lax.cond(ok, lambda _: tau_cand, exact_tau, None)
+    n_above, n_eq = na_ne(tau)
+    fill = k - n_above
+
+    # per-block integer cutoffs (c*(s_b/7) is the exact element ev)
+    cut = jnp.sum((cand <= tau).astype(jnp.int32), axis=1)  # (nb,) 0..7
+    eqm = jnp.sum((cand == tau).astype(jnp.int32)
+                  * jnp.arange(1, 8, dtype=jnp.int32)[None, :], axis=1)
+    eqc = jnp.where(eqm > 0, eqm,
+                    jnp.where(tau == 0.0, 0, -1))            # (nb,)
+
+    if use_kernels:
+        new_codes = mask4_pallas(x.codes, cut, eqc, fill, npad)
+        return QVec4(codes=new_codes, scales=x.scales, length=x.length)
+
+    gt = (a2 > cut[:, None].astype(jnp.int8)).reshape(-1)
+    eq = (a2 == eqc[:, None].astype(jnp.int8)).reshape(-1)
+
+    def fast(_):
+        return jnp.logical_or(gt, eq)
+
+    def slow(_):
+        return _rank_tie_mask(gt, eq, fill)
+
+    mask = jax.lax.cond(n_eq == fill, fast, slow, None)
+    kept = jnp.where(mask, codes, jnp.int8(0))
+    return QVec4(codes=pack_nibbles(kept), scales=x.scales,
+                 length=x.length)
+
+
 def _abs_restored(x) -> jax.Array:
     av = jnp.abs(restore_vec(x).values)
     npad = av.shape[-1]
@@ -354,13 +468,17 @@ def threshold(x, k: int):
 
     if isinstance(x, QVec4):
         # candidate compression — value a*s_b/7 with multiplicity
-        # counts[b, a], a in 1..7 (~n/9 candidates), then the exact
-        # bisection.  The fused Pallas kernel wins below its 2^20 cap
-        # (r4 full-width candidate scans; crossovers in
-        # kernels/threshold.py header).
+        # counts[b, a], a in 1..7 (~n/9 candidates).  Large n with
+        # k <= 1024: the r5 hybrid (top-k on the compressed multiset +
+        # integer-cutoff mask, no bisection / no f32 element pass).
+        # Below the crossover the fused Pallas kernel wins (r4
+        # full-width candidate scans); wide-view bisect covers the rest.
         from ..kernels import pallas_enabled
         from ..kernels.threshold import (
             threshold4_pallas, threshold4_pallas_eligible)
+        if (k <= TAU_HIER_MAX_K and HYBRID4_MIN_N <= x.length_pad
+                and x.length_pad < 2 ** 24):
+            return _threshold4_hybrid(x, k)
         if pallas_enabled() and threshold4_pallas_eligible(x, k):
             return threshold4_pallas(x, k)
         return _threshold4_xla(x, k)

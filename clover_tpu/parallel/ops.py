@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..formats import QVec4, QVec8, QVec16, QVec32, pack_nibbles, unpack_nibbles
 from ..ops import restore_vec
+from ..ops._core import f16_rounded
 from ..ops.mvm import mvm_f32_fast
 from ..ops.quantize import quantize_vec
 
@@ -52,7 +53,7 @@ def mvm_psum(A_local, x_local, reduce_axis: str, key, out_bits: int,
     if out_bits == 32:
         return QVec32(values=y32, length=A_local.rows)
     if out_bits == 16:
-        return QVec16(values=y32.astype(jnp.float16), length=A_local.rows)
+        return QVec16(values=f16_rounded(y32), length=A_local.rows)
     return quantize_vec(QVec32(values=y32, length=A_local.rows), out_bits,
                         key=axis_key(key, out_owner_axis))
 
@@ -80,7 +81,7 @@ def mvm_batched_psum(A_local, xs_local, reduce_axis: str, key,
     if out_bits == 32:
         return QVec32(values=ys, length=rows)
     if out_bits == 16:
-        return QVec16(values=ys.astype(jnp.float16), length=rows)
+        return QVec16(values=f16_rounded(ys), length=rows)
     k0 = axis_key(key, out_owner_axis)
     if k0 is None:
         keys = None
@@ -172,7 +173,7 @@ def mvm_psum_overlapped(A_local, x_local, reduce_axis: str, key,
     if out_bits == 32:
         return QVec32(values=y32, length=A_local.rows)
     if out_bits == 16:
-        return QVec16(values=y32.astype(jnp.float16), length=A_local.rows)
+        return QVec16(values=f16_rounded(y32), length=A_local.rows)
     return quantize_vec(QVec32(values=y32, length=A_local.rows), out_bits,
                         key=axis_key(key, out_owner_axis))
 
