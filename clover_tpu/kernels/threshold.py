@@ -447,30 +447,53 @@ def threshold4_pallas(x, k: int):
 
 
 # ---------------------------------------------------------------------------
-# r5 hybrid building blocks: histogram + mask/pack streaming kernels
-# (selection happens in XLA between them — ops/threshold._threshold4_hybrid)
+
+
+# ---------------------------------------------------------------------------
+# r5 hybrid building blocks: histogram + mask/pack streaming kernels at the
+# full (rows, 128) byte layout (one row = GPR=4 blocks; the (nb, 32)
+# one-block-per-row draft measured ~68 GB/s — quarter-lane width).
+# Selection happens in XLA between them (ops/threshold._threshold4_hybrid).
 # ---------------------------------------------------------------------------
 
-def _hist4_kernel(c_ref, h_ref):
+def _unpack_row128(c_ref):
     xp = c_ref[:].astype(jnp.int32)
-    alo = jnp.abs(jnp.bitwise_and(xp, 15) - 8)
-    ahi = jnp.abs(jax.lax.shift_right_arithmetic(xp, 4))
-    cols = [jnp.sum((alo == c).astype(jnp.float32), axis=1, keepdims=True)
-            + jnp.sum((ahi == c).astype(jnp.float32), axis=1, keepdims=True)
-            for c in range(8)]
-    h_ref[:] = jnp.concatenate(cols, axis=1)
+    lo = jnp.bitwise_and(xp, 15) - 8
+    hi = jax.lax.shift_right_arithmetic(xp, 4)
+    return lo, hi
+
+
+def _group_indicator():
+    """(128, GPR) f32: lane l -> 1 in column l // 32."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (128, GPR), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, GPR), 1)
+    return jnp.where(r // 32 == c, 1.0, 0.0)
+
+
+def _hist4_kernel(c_ref, h_ref):
+    lo, hi = _unpack_row128(c_ref)
+    alo, ahi = jnp.abs(lo), jnp.abs(hi)
+    G = _group_indicator().astype(jnp.bfloat16)
+    cols = []
+    for c in range(8):
+        ind = (jnp.where(alo == c, 1.0, 0.0)
+               + jnp.where(ahi == c, 1.0, 0.0)).astype(jnp.bfloat16)
+        # exact: 0/1/2 entries, counts <= 64, f32 accumulation
+        cols.append(jax.lax.dot(ind, G,
+                                preferred_element_type=jnp.float32))
+    h_ref[:] = jnp.concatenate(cols, axis=1)      # (rt, 8*GPR), c-major
 
 
 @lru_cache(maxsize=32)
-def _build_hist4(nb: int, rt: int, interpret: bool):
+def _build_hist4(rows: int, rt: int, interpret: bool):
     return pl.pallas_call(
         _hist4_kernel,
-        grid=(nb // rt,),
-        in_specs=[pl.BlockSpec((rt, HALF4), lambda g: (g, 0),
+        grid=(rows // rt,),
+        in_specs=[pl.BlockSpec((rt, ROW_BYTES), lambda g: (g, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((rt, 8), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((rt, 8 * GPR), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, 8 * GPR), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -478,82 +501,110 @@ def _build_hist4(nb: int, rt: int, interpret: bool):
     )
 
 
-HALF4 = 32        # packed bytes per 64-block
-
-
 def hist4_geometry(npad: int):
-    nb = npad // 64
-    rt = next((r for r in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-               if nb % r == 0), None)
-    return None if rt is None else (nb, rt)
+    if npad % (2 * ROW_BYTES):
+        return None
+    rows = npad // (2 * ROW_BYTES)
+    rt = next((r for r in (1024, 512, 256, 128, 64, 32, 16, 8)
+               if rows % r == 0), None)
+    return None if rt is None else (rows, rt)
 
 
 def hist4_pallas(codes: jax.Array, npad: int) -> jax.Array:
     """Packed 4-bit codes -> (nb, 8) f32 per-block magnitude counts
-    (column c = count of |code| == c).  One stream pass; the compressed
-    representation the r5 hybrid threshold selects tau on."""
-    nb, rt = hist4_geometry(npad)
-    call = _build_hist4(nb, rt, pallas_interpret())
-    return call(codes.reshape(nb, HALF4))
+    (column c = count of |code| == c).  One full-width stream pass; the
+    compressed representation the r5 hybrid threshold selects tau on."""
+    rows, rt = hist4_geometry(npad)
+    h = _build_hist4(rows, rt, pallas_interpret())(
+        codes.reshape(rows, ROW_BYTES))
+    # kernel emits c-major lanes (c * GPR + g); block index = GPR*r + g
+    return h.reshape(rows, 8, GPR).transpose(0, 2, 1).reshape(-1, 8)
 
 
-def _mask4_kernel(c_ref, cut_ref, eqc_ref, fill_ref, o_ref, carry,
-                  *, rt):
+def _rank_mats():
+    """The three fixed 0/1 lane matrices that rank ties in ELEMENT order
+    from (rows, 128)-layout nibble-plane masks.  Element order within a
+    row: per 32-lane group g, lo elements (lanes 32g..32g+31) precede hi
+    elements of the same group, then group g+1.
+
+      rank_lo = tlo @ A + thi @ B;  rank_hi = tlo @ C + thi @ A
+      A[j,l] = [gj <  gl] or [gj == gl and j < l]   (strict, same plane)
+      B[j,l] = [gj <  gl]                           (earlier groups only)
+      C[j,l] = [gj <= gl]                           (all lo precede hi)
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    gj, gl = j // 32, l // 32
+    A = jnp.where((gj < gl) | ((gj == gl) & (j < l)), 1.0, 0.0)
+    B = jnp.where(gj < gl, 1.0, 0.0)
+    C = jnp.where(gj <= gl, 1.0, 0.0)
+    bf = jnp.bfloat16
+    return A.astype(bf), B.astype(bf), C.astype(bf)
+
+
+def _expand_groups4(vals4):
+    """(RT, GPR) f32 -> (RT, 128): 32-lane-group broadcast (HIGHEST
+    exact: one nonzero 0/1 weight per output lane)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (GPR, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (GPR, 128), 1)
+    E = jnp.where(c // 32 == r, 1.0, 0.0)
+    return jax.lax.dot(vals4, E, precision=jax.lax.Precision.HIGHEST)
+
+
+def _mask4_kernel(c_ref, ms_ref, tf_ref, o_ref, carry, *, rt):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
         carry[0] = jnp.float32(0.0)
 
-    xp = c_ref[:].astype(jnp.int32)
-    lo = jnp.bitwise_and(xp, 15) - 8
-    hi = jax.lax.shift_right_arithmetic(xp, 4)
+    lo, hi = _unpack_row128(c_ref)
     alo, ahi = jnp.abs(lo), jnp.abs(hi)
-    cut = cut_ref[:]                      # (rt, 1) int32
-    eqc = eqc_ref[:]
-    tlo = jnp.where(alo == eqc, 1.0, 0.0)
-    thi = jnp.where(ahi == eqc, 1.0, 0.0)
-    tf = jnp.concatenate([tlo, thi], axis=1)      # element order, f32
-    # golden tie order (|value| desc, index asc): exclusive prefix rank
-    # via triangular matmuls (exact: 0/1 entries, totals < 2^24)
-    r64 = jax.lax.broadcasted_iota(jnp.int32, (64, 64), 0)
-    c64 = jax.lax.broadcasted_iota(jnp.int32, (64, 64), 1)
-    U = jnp.where(r64 < c64, 1.0, 0.0).astype(jnp.bfloat16)
-    intra = jax.lax.dot(tf.astype(jnp.bfloat16), U,
-                        preferred_element_type=jnp.float32)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (rt, rt), 1)
-    L = jnp.where(cc < rr, 1.0, 0.0).astype(jnp.bfloat16)
-    rowtot = jnp.sum(tf, axis=1, keepdims=True)
-    rowoff = jax.lax.dot(L, rowtot.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-    rank = intra + rowoff + carry[0]
-    fill = fill_ref[0, 0]
+    # element |values| from the PRE-DIVIDED s/7 (same expression as the
+    # wide-view ev: float(|code|) * (s/7) — bit-identical products)
+    m = _expand_groups4(ms_ref[:])
+    vlo = alo.astype(jnp.float32) * m
+    vhi = ahi.astype(jnp.float32) * m
+    tau = tf_ref[0, 0]
+    fill = tf_ref[0, 1]
+    tlo = jnp.where(vlo == tau, 1.0, 0.0)
+    thi = jnp.where(vhi == tau, 1.0, 0.0)
+    # golden tie order (|value| desc, index asc): exclusive prefix ranks
+    # via fixed lane matmuls (exact: 0/1 entries, totals < 2^24)
+    A, B, C = _rank_mats()
+    bf = jnp.bfloat16
+    pt = jnp.float32
+    rlo = (jax.lax.dot(tlo.astype(bf), A, preferred_element_type=pt)
+           + jax.lax.dot(thi.astype(bf), B, preferred_element_type=pt))
+    rhi = (jax.lax.dot(tlo.astype(bf), C, preferred_element_type=pt)
+           + jax.lax.dot(thi.astype(bf), A, preferred_element_type=pt))
+    rowtot = jnp.sum(tlo + thi, axis=1, keepdims=True)
+    rowoff = _row_prefix_excl_col(rowtot, rt) + carry[0]
     keep_lo = jnp.logical_or(
-        alo > cut, jnp.logical_and(tlo > 0.0, rank[:, :HALF4] < fill))
+        vlo > tau, jnp.logical_and(tlo > 0.0, rlo + rowoff < fill))
     keep_hi = jnp.logical_or(
-        ahi > cut, jnp.logical_and(thi > 0.0, rank[:, HALF4:] < fill))
-    carry[0] = carry[0] + jnp.sum(tf)
+        vhi > tau, jnp.logical_and(thi > 0.0, rhi + rowoff < fill))
+    carry[0] = carry[0] + jnp.sum(rowtot)
     klo = jnp.where(keep_lo, lo, 0)
     khi = jnp.where(keep_hi, hi, 0)
     o_ref[:] = (16 * khi + (klo + 8)).astype(jnp.int8)
 
 
 @lru_cache(maxsize=32)
-def _build_mask4(nb: int, rt: int, interpret: bool):
+def _build_mask4(rows: int, rt: int, interpret: bool):
     vm = pltpu.VMEM
     return pl.pallas_call(
         partial(_mask4_kernel, rt=rt),
-        grid=(nb // rt,),
+        grid=(rows // rt,),
         in_specs=[
-            pl.BlockSpec((rt, HALF4), lambda g: (g, 0), memory_space=vm),
-            pl.BlockSpec((rt, 1), lambda g: (g, 0), memory_space=vm),
-            pl.BlockSpec((rt, 1), lambda g: (g, 0), memory_space=vm),
-            pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=vm),
+            pl.BlockSpec((rt, ROW_BYTES), lambda g: (g, 0),
+                         memory_space=vm),
+            pl.BlockSpec((rt, GPR), lambda g: (g, 0), memory_space=vm),
+            pl.BlockSpec((1, 2), lambda g: (0, 0), memory_space=vm),
         ],
-        out_specs=pl.BlockSpec((rt, HALF4), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((rt, ROW_BYTES), lambda g: (g, 0),
                                memory_space=vm),
-        out_shape=jax.ShapeDtypeStruct((nb, HALF4), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((rows, ROW_BYTES), jnp.int8),
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             # sequential: the tie-rank carry crosses grid steps
@@ -563,13 +614,23 @@ def _build_mask4(nb: int, rt: int, interpret: bool):
     )
 
 
-def mask4_pallas(codes: jax.Array, cut: jax.Array, eqc: jax.Array,
+# mask tiles: per-step cost is dominated by fixed sequential-carry
+# overheads at small rt and the (rt, rt) prefix build at large rt;
+# 512 measured best at 2^20 (16.1 vs 17.5/21.8 us for 1024/2048)
+_MASK_RT = (512, 1024, 256, 128, 64, 32, 16, 8)
+
+
+def mask4_pallas(codes: jax.Array, m7: jax.Array, tau: jax.Array,
                  fill: jax.Array, npad: int) -> jax.Array:
-    """Apply per-block integer cutoffs + golden-order tie fill to packed
-    4-bit codes in ONE stream pass.  ``cut``/``eqc``: (nb,) int32 from
-    the compressed-multiset selector; ``fill``: f32 scalar tie budget."""
-    nb, rt = hist4_geometry(npad)
-    call = _build_mask4(nb, rt, pallas_interpret())
-    out = call(codes.reshape(nb, HALF4), cut.reshape(nb, 1),
-               eqc.reshape(nb, 1), fill.reshape(1, 1))
+    """Keep |value| > tau plus the first ``fill`` ties in golden order,
+    over packed 4-bit codes, in ONE full-width stream pass.  ``m7``:
+    (nb,) pre-divided scales/7 (the restore multiplier); tau/fill: f32
+    scalars from the compressed-multiset selector."""
+    rows = npad // (2 * ROW_BYTES)
+    rt = next((r for r in _MASK_RT if rows % r == 0), None)
+    if rt is None:
+        rows, rt = hist4_geometry(npad)
+    call = _build_mask4(rows, rt, pallas_interpret())
+    tf = jnp.stack([tau, fill]).reshape(1, 2)
+    out = call(codes.reshape(rows, ROW_BYTES), m7.reshape(rows, GPR), tf)
     return out.reshape(-1)

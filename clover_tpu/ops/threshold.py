@@ -180,7 +180,12 @@ TAU_HIER_MAX_K = 1024
 # 4-bit hybrid (r5) engages at and above this padded length (crossover
 # vs the fused bisection kernel, measured v5e —
 # doc/results/threshold4_r5.md).
-HYBRID4_MIN_N = 1 << 18
+HYBRID4_MIN_N = 1 << 19
+
+# the hybrid's plane-structured selector gathers min(k, nb) scales and
+# runs a (7k)^2 pairwise weighted count; past this k the quadratic stops
+# paying and the compressed bisection selects instead
+_HYBRID4_SEL_K = 256
 
 
 def _tau_approx_verified(ev: jax.Array, k: int, fallback):
@@ -343,34 +348,67 @@ def _threshold4_hybrid(x, k: int):
                           jnp.float32(x.length) - total, 0.0))
         return na, ne
 
-    # approx selector: candidate tau from the top-min(k,|C|) gathered
-    # ENTRIES (weights >= 1, so the k-th multiset value is among the
-    # top-k entries when the gather is exact), then an EXACT
-    # verification on the compressed counts; approx_max_k misses can
-    # only move tau_cand, never defeat the verification, and the rare
-    # miss falls back to the exact compressed bisection.
-    k_sel = min(k, nb * 7)
-    flat_v = jnp.where(hflat > 0, candflat, -1.0)
-    topv, topi = jax.lax.approx_max_k(flat_v, k_sel)
-    topw = hflat[topi]
-    sg = jnp.sum(jnp.where(topv[:, None] > topv[None, :],
-                           topw[:, None], 0.0), axis=0)     # (k_sel,)
-    tau_raw = jnp.min(jnp.where(sg < k, topv, jnp.inf))
-    tau_cand = jnp.where(total >= k, jnp.maximum(tau_raw, 0.0),
-                         jnp.float32(0.0))
-    na_c, ne_c = na_ne(tau_cand)
-    ok = jnp.logical_and(na_c < k, k <= na_c + ne_c)
-
+    # Plane-structured selector: within magnitude plane c the candidate
+    # values are c * m7 — ordered by scale — so every entry with value
+    # >= tau lies among {c * s : s in the top-min(k, nb) ELIGIBLE
+    # scales} (entries above tau carry weight >= 1 and total weight
+    # < k, hence fewer than k per plane).  ONE top_k over the nb scales
+    # (blocks with no nonzero code masked out) + pairwise weighted
+    # counts over the 7*k_b candidates gives tau; the corner where a
+    # plane-c-empty block displaces a real entry is caught by the exact
+    # compressed verification and falls back to the bisection.  (An
+    # approx_max_k-over-entries variant measured ~unusable here: its
+    # ~5% misses defeat the verification on most calls and the bisect
+    # fallback dominates.)
     def exact_tau(_):
         # negative sentinels bitcast below every non-negative float and
         # carry zero weight; degenerate small multisets yield bits 0 ==
-        # 0.0f — exactly the clamp above
+        # 0.0f — the keep-everything clamp
         tb = _tau_bisect(cand, h, k)[0]
-        return jax.lax.bitcast_convert_type(tb, jnp.float32)
+        t = jax.lax.bitcast_convert_type(tb, jnp.float32)
+        na, ne = na_ne(t)
+        return t, na, ne
 
-    tau = jax.lax.cond(ok, lambda _: tau_cand, exact_tau, None)
-    n_above, n_eq = na_ne(tau)
+    if k <= _HYBRID4_SEL_K:
+        # gather 4k blocks: the per-plane bound says plane-c entries
+        # above tau lie in the plane's top-(k-1) ELIGIBLE scales, and
+        # quantized data has h[b,7] == 0 for a sizable fraction of
+        # blocks (the absmax element can round to code 6 via the 1-ulp
+        # divide), so a k-deep any-plane gather misses them on MOST
+        # calls (measured: the bisect fallback fired every call at
+        # 2^20 uniform).  4k-deep makes a miss need > 3k ineligible
+        # blocks interleaved in the top 4k — vanishing; the verify +
+        # fallback still guarantees exactness.
+        B = min(max(4 * k, 256), nb)
+        m7_eff = jnp.where(jnp.sum(h, axis=1) > 0, m7[:, 0], -1.0)
+        tops, topbi = jax.lax.top_k(m7_eff, B)             # (B,)
+        hsel = h[topbi]                                    # (B, 7)
+        vsel = cs[None, :] * tops[:, None]                 # == cand rows
+        vflat = jnp.where(hsel > 0, vsel, -1.0).reshape(-1)
+        wflat = hsel.reshape(-1)
+        # tau has < k multiset entries above it, so it is among the
+        # top-k ENTRIES of any superset that contains it; rank only
+        # those (sg over all gathered weights, (7B x k) broadcast)
+        topv2, _ = jax.lax.top_k(vflat, min(k, 7 * B))
+        sg = jnp.sum(jnp.where(vflat[:, None] > topv2[None, :],
+                               wflat[:, None], 0.0), axis=0)
+        tau_raw = jnp.min(jnp.where(sg < k, topv2, jnp.inf))
+        tau_cand = jnp.where(total >= k, jnp.maximum(tau_raw, 0.0),
+                             jnp.float32(0.0))
+        na_c, ne_c = na_ne(tau_cand)
+        ok = jnp.logical_and(na_c < k, k <= na_c + ne_c)
+        tau, n_above, n_eq = jax.lax.cond(
+            ok, lambda _: (tau_cand, na_c, ne_c), exact_tau, None)
+    else:
+        # large k: the (7k)^2 pairwise count would not pay for itself;
+        # exact compressed bisection straight away
+        tau, n_above, n_eq = exact_tau(None)
     fill = k - n_above
+
+    if use_kernels:
+        new_codes = mask4_pallas(x.codes, m7.reshape(-1), tau, fill,
+                                 npad)
+        return QVec4(codes=new_codes, scales=x.scales, length=x.length)
 
     # per-block integer cutoffs (c*(s_b/7) is the exact element ev)
     cut = jnp.sum((cand <= tau).astype(jnp.int32), axis=1)  # (nb,) 0..7
@@ -378,10 +416,6 @@ def _threshold4_hybrid(x, k: int):
                   * jnp.arange(1, 8, dtype=jnp.int32)[None, :], axis=1)
     eqc = jnp.where(eqm > 0, eqm,
                     jnp.where(tau == 0.0, 0, -1))            # (nb,)
-
-    if use_kernels:
-        new_codes = mask4_pallas(x.codes, cut, eqc, fill, npad)
-        return QVec4(codes=new_codes, scales=x.scales, length=x.length)
 
     gt = (a2 > cut[:, None].astype(jnp.int8)).reshape(-1)
     eq = (a2 == eqc[:, None].astype(jnp.int8)).reshape(-1)
@@ -452,10 +486,13 @@ def _dense_keep_mask(av: jax.Array, k: int) -> jax.Array:
 def threshold(x, k: int):
     """Return x with all but its K largest-magnitude elements zeroed.
 
-    Selection is always EXACT.  4-bit: the fused kernel below 2^20,
-    else k-th-value bisection over a compressed candidate multiset
-    (per-block counts of the 7 code magnitudes — the only values a
-    block can take).  8-bit: the fused kernel below 2^17, else the
+    Selection is always EXACT.  4-bit: n >= 2^19 with k <= 256 runs
+    the r5 hybrid (streaming histogram kernel -> plane-structured
+    top-k selector on the 8x-compressed multiset -> streaming mask
+    kernel; doc/results/threshold4_r5.md); below that the fused
+    bisection kernel (cap 2^20), else k-th-value bisection over the
+    compressed candidate multiset (per-block counts of the 7 code
+    magnitudes — the only values a block can take).  8-bit: the fused kernel below 2^17, else the
     dense path.  Dense (8 past cap /16/32): for k <= 1024 an
     approx_max_k candidate PROVEN exact by one global count pass, with
     a bisection fallback the verification triggers on a miss
@@ -476,7 +513,7 @@ def threshold(x, k: int):
         from ..kernels import pallas_enabled
         from ..kernels.threshold import (
             threshold4_pallas, threshold4_pallas_eligible)
-        if (k <= TAU_HIER_MAX_K and HYBRID4_MIN_N <= x.length_pad
+        if (k <= _HYBRID4_SEL_K and HYBRID4_MIN_N <= x.length_pad
                 and x.length_pad < 2 ** 24):
             return _threshold4_hybrid(x, k)
         if pallas_enabled() and threshold4_pallas_eligible(x, k):

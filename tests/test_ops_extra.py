@@ -106,3 +106,37 @@ def test_random_generators_reproducible():
     ints = np.asarray(random_integers(5, 7, 1000, 7))
     assert ints.min() >= -7 and ints.max() <= 7
     assert np.all(ints == np.round(ints))
+
+
+def test_threshold4_hybrid_exact(rng, monkeypatch):
+    """r5 hybrid (compressed-multiset top-k selector + streaming mask
+    kernels) must match the wide-view bisect path bit-for-bit, in both
+    its pure-XLA and kernel (interpret) variants, across tie storms and
+    degenerate inputs (doc/results/threshold4_r5.md)."""
+    import jax
+    import clover_tpu as ct
+    from clover_tpu.ops.threshold import (_threshold4_hybrid,
+                                          _threshold4_xla)
+
+    cases = []
+    for (n, k) in ((256, 3), (1024, 64), (4096, 257), (65536, 64)):
+        v = (rng.random(n, dtype=np.float32) * 2 - 1)
+        cases.append((v, k))
+        cases.append((rng.integers(-3, 4, n).astype(np.float32), k))
+        z = np.zeros(n, np.float32)
+        z[rng.permutation(n)[:max(1, k // 2)]] = 1.0
+        cases.append((z, k))                     # k > nnz: tau == 0
+    for use_kernels in (False, True):
+        if use_kernels:
+            monkeypatch.setenv("CLOVER_PALLAS", "1")
+        else:
+            monkeypatch.delenv("CLOVER_PALLAS", raising=False)
+        for v, k in cases:
+            q = ct.quantize(jnp.asarray(v), 4)
+            a = jax.jit(_threshold4_xla, static_argnums=1)(q, k)
+            b = jax.jit(_threshold4_hybrid, static_argnums=1)(q, k)
+            assert np.array_equal(np.asarray(a.codes),
+                                  np.asarray(b.codes)), (len(v), k,
+                                                         use_kernels)
+            assert np.array_equal(np.asarray(a.scales),
+                                  np.asarray(b.scales))
