@@ -300,6 +300,81 @@ def bench_axpy(log, sizes=VEC_SIZES):
              dt, t32)
 
 
+def bench_small_warm(log, sizes=(1 << 16, 1 << 17, 1 << 18)):
+    """Latency-regime dot/AXPY rows under SYMMETRIC warm dependent-chain
+    protocols (r5, VERDICT r4 item 4).
+
+    The streaming rows above amortize the fp32 baselines over a
+    >= 512 MB ring while the quantized single-op chains pay launch +
+    reduce latency per call — an apples-to-oranges ratio at small n
+    (r4 recorded dot 0.58x / AXPY 0.53x at 2^16 from that asymmetry).
+    These rows time BOTH sides as dependent per-call chains on warm
+    (VMEM/cache-resident) operands — the reference's own small-N
+    semantics (15 warm repetitions, 01_measure.h).  Note the
+    reference's committed table has its own 4-bit AXPY at 0.28-0.80x
+    fp32 for ALL N <= 1M (performance.txt:246-257, in-cache,
+    requant-compute-bound) — "never loses" only holds out-of-cache.
+    doc/results/smalln_dot_axpy_r5.md."""
+    log("\n== latency regime: warm symmetric single-op chains")
+    key = jax.random.PRNGKey(0)
+    for n in sizes:
+        u = jax.random.uniform(key, (n,), jnp.float32, -1.0, 1.0)
+        v = jax.random.uniform(jax.random.fold_in(key, 1), (n,),
+                               jnp.float32, -1.0, 1.0)
+
+        def mkdf(iters):
+            @jax.jit
+            def g(u, v):
+                def bd(i, s):
+                    return s + jnp.dot(
+                        u, v + s * 1e-30,
+                        preferred_element_type=jnp.float32) * 1e-30
+                return jax.lax.fori_loop(0, iters, bd, jnp.float32(0))
+            return lambda: float(g(u, v))
+        tdf = chain_time(mkdf)
+        _row(log, f"warm dot 32-bit n={n}", 8 * n, tdf)
+
+        def mkaf(iters):
+            @jax.jit
+            def g(u, v):
+                def bd(i, y):
+                    return u + (-0.5) * y
+                return jnp.sum(jax.lax.fori_loop(0, iters, bd, v))
+            return lambda: float(g(u, v))
+        taf = chain_time(mkaf)
+        _row(log, f"warm axpy 32-bit n={n}", 12 * n, taf)
+
+        for bits in (4, 8):
+            qu, qv = ct.quantize(u, bits), ct.quantize(v, bits)
+
+            def mkdq(iters, qu=qu, qv=qv):
+                @jax.jit
+                def g(qu, qv):
+                    def bd(i, s):
+                        qv2 = type(qv)(codes=qv.codes,
+                                       scales=qv.scales + s * 1e-37,
+                                       length=qv.length)
+                        return s + ct.dot(qu, qv2)
+                    return jax.lax.fori_loop(0, iters, bd,
+                                             jnp.float32(0))
+                return lambda: float(g(qu, qv))
+            _row(log, f"warm dot {bits:2d}-bit n={n}", 2 * qu.nbytes,
+                 chain_time(mkdq), tdf)
+
+            def mkaq(iters, qu=qu, qv=qv):
+                @jax.jit
+                def g(qu, qv):
+                    def bd(i, y):
+                        return ct.scale_and_add(qu, y, -0.5)
+                    y = jax.lax.fori_loop(0, iters, bd, qv)
+                    return (jnp.sum(y.scales)
+                            + jnp.sum(y.codes.astype(jnp.float32))
+                            * 1e-30)
+                return lambda: float(g(qu, qv))
+            _row(log, f"warm axpy {bits:2d}-bit n={n}", 3 * qu.nbytes,
+                 chain_time(mkaq), taf)
+
+
 def bench_dot(log, sizes=VEC_SIZES):
     log("\n== dot — bytes = 2 vector reads")
     rng = np.random.default_rng(0)
@@ -814,6 +889,7 @@ def run_perf(log=print, quick: bool = False, sharded: bool = False):
     bench_restore(log, vec)
     bench_dot(log, vec if quick else vec + [1 << 25])
     bench_axpy(log, vec)
+    bench_small_warm(log)
     bench_threshold(log, vec[:2])
     bench_get(log)
     bench_mvm(log, mvm)
