@@ -125,8 +125,62 @@ def _chunk_vec(x, b0: int, b1: int):
                  scales=x.scales[b0:b1], length=n)
 
 
+# Measured on-chip (v5e, n=16K local shard, prepared chunks): each extra
+# chunk costs ~5 us of launch + stream-efficiency loss (chunks=2 +2.2,
+# 4 +16, 8 +53 us vs the unchunked 212 us); UNPREPARED column slices pay
+# a full local-matrix copy per call (+415 us — XLA does not hoist the
+# slices out of solver loops), which is why prepare_psum_chunks exists.
+PSUM_CHUNK_OVERHEAD_S = 5e-6
+# per-direction ring-all-reduce link bandwidth used by the chunk model;
+# override with CLOVER_PSUM_LINK_GBS (e.g. ~2-10 for DCN-attached pods)
+PSUM_LINK_GBS_DEFAULT = 45.0
+
+
+def prepare_psum_chunks(A_local, chunks: int):
+    """Materialize the column-chunk containers ONCE (hoist out of solver
+    scans): a pytree of contiguous per-chunk matrices behind an
+    optimization barrier so XLA builds them a single time."""
+    nb = A_local.cols_pad // 64
+    chunks = max(1, min(chunks, nb))
+    bounds = [round(i * nb / chunks) for i in range(chunks + 1)]
+    mats = [_col_chunk_mat(A_local, bounds[c], bounds[c + 1])
+            for c in range(chunks)]
+    return jax.lax.optimization_barrier(mats)
+
+
+def pick_psum_chunks(rows_local: int, cols_pad_local: int, n_dev: int,
+                     bits: int = 4, link_gbs: float | None = None,
+                     hbm_gbs: float = 740.0) -> int:
+    """Model-based chunk count for :func:`mvm_psum_overlapped` (VERDICT
+    r4 item 5): 1 means "use plain mvm_psum".
+
+    Overlap hides min(T_compute, T_psum) * (c-1)/c at a measured cost of
+    ~PSUM_CHUNK_OVERHEAD_S per extra chunk.  T_compute = local matrix
+    bytes / HBM rate; T_psum = ring all-reduce of the f32 partial vector,
+    2*(D-1)/D * 4*rows / link rate.  On pure-ICI v5e meshes T_psum is
+    ~3 us at serving sizes — chunking NEVER pays there and this returns
+    1; it engages for DCN-class links (CLOVER_PSUM_LINK_GBS) or very
+    tall shards.  c* = sqrt(min(Tc,Tp)/overhead), clamped to [2, 8],
+    accepted only when the modeled net saving is positive."""
+    import math
+    import os
+    if n_dev <= 1:
+        return 1
+    if link_gbs is None:
+        link_gbs = float(os.environ.get("CLOVER_PSUM_LINK_GBS",
+                                        PSUM_LINK_GBS_DEFAULT))
+    local_bytes = rows_local * cols_pad_local * bits / 8.0
+    tc = local_bytes / (hbm_gbs * 1e9)
+    tp = 2.0 * (n_dev - 1) / n_dev * 4.0 * rows_local / (link_gbs * 1e9)
+    hideable = min(tc, tp)
+    c = max(2, min(8, int(math.sqrt(hideable / PSUM_CHUNK_OVERHEAD_S))))
+    saving = hideable * (c - 1) / c - PSUM_CHUNK_OVERHEAD_S * (c - 1)
+    return c if saving > PSUM_CHUNK_OVERHEAD_S else 1
+
+
 def mvm_psum_overlapped(A_local, x_local, reduce_axis: str, key,
-                        out_bits: int, out_owner_axis: str, chunks: int = 4):
+                        out_bits: int, out_owner_axis: str,
+                        chunks: int = 4, prepared=None):
     """:func:`mvm_psum` with the k-reduction chunked so ICI transfer can
     overlap MXU/HBM compute (the BASELINE.json north star: "partial
     dot-products reduced via ICI psum overlapped with compute").
@@ -153,18 +207,25 @@ def mvm_psum_overlapped(A_local, x_local, reduce_axis: str, key,
     (<2%), chunking is pure overhead.  It matters when n/C shrinks or C
     grows: at m=n=8192 on 1x16, compute ~2.8 us vs psum ~0.7 us, and for
     mixed DCN-attached meshes (psum ~10-100x slower) chunking hides a
-    first-order cost.  Kept behind this explicit function (the solvers
-    default to mvm_psum) until real multi-chip hardware can judge it.
+    first-order cost.  Dispatch (r5): parallel/solvers auto-picks via
+    :func:`pick_psum_chunks` from static shard shapes and the link
+    estimate, preparing the chunk containers once per solve
+    (:func:`prepare_psum_chunks` — unprepared slices pay a full
+    local-matrix copy per call); the model returns 1 on pure-ICI v5e
+    meshes, so the r4 1x1 regression is no longer reachable by
+    accident.
     """
     nb = A_local.cols_pad // 64
     chunks = max(1, min(chunks, nb))
     bounds = [round(i * nb / chunks) for i in range(chunks + 1)]
+    if prepared is None:
+        prepared = prepare_psum_chunks(A_local, chunks)
     partials = []
     for c in range(chunks):
         b0, b1 = bounds[c], bounds[c + 1]
         if b0 == b1:
             continue
-        partials.append(mvm_f32_fast(_col_chunk_mat(A_local, b0, b1),
+        partials.append(mvm_f32_fast(prepared[c],
                                      _chunk_vec(x_local, b0, b1)))
     y32 = None
     for p in partials:

@@ -343,3 +343,40 @@ def test_sharded_1x1_bitidentical_to_single(bits):
                                       np.asarray(shard.trace))
         np.testing.assert_array_equal(np.asarray(single.x.codes),
                                       np.asarray(shard.x.codes))
+
+
+def test_solver_auto_chunked_psum(mesh, monkeypatch):
+    """With a DCN-class link estimate the sharded solver auto-picks the
+    chunked-psum legs (pick_psum_chunks > 1, chunk containers prepared
+    once per solve); the chunked solve must behave like the plain one
+    (the per-chunk psum association legitimately reorders f32 sums, so
+    trajectory identity is not asserted — the exact-integer kernel
+    cross-check is test_mvm_psum_overlapped_exact)."""
+    from clover_tpu.parallel.ops import pick_psum_chunks
+    from clover_tpu.parallel.solvers import iht as iht_sharded
+
+    # the model engages at realistic shard shapes on slow links...
+    monkeypatch.setenv("CLOVER_PSUM_LINK_GBS", "0.05")
+    assert pick_psum_chunks(16384, 16384, 4) > 1
+    monkeypatch.delenv("CLOVER_PSUM_LINK_GBS")
+    # ...and never on pure-ICI v5e meshes or the 1x1 mesh
+    assert pick_psum_chunks(16384, 16384, 4) == 1
+    assert pick_psum_chunks(16384, 16384, 1, link_gbs=0.01) == 1
+    # force the chunked solver legs regardless of problem size so the
+    # dispatch + prepared-chunk path is exercised on the sim mesh
+    import clover_tpu.parallel.ops as pops
+    monkeypatch.setattr(pops, "pick_psum_chunks",
+                        lambda *a, **kw: 3)
+    phi, x_star, y, k = _problem()
+    n = phi.shape[1]
+    qphi = quantize_mat(phi, 4, key=None)
+    qphit = transpose(qphi)
+    qy = quantize_vec(y, 4, key=None)
+    s_phi = shard_matrix(qphi, mesh)
+    s_phit = shard_matrix(qphit, mesh, transposed=True)
+    s_y = shard_vector(qy, mesh, "row")
+    res = iht_sharded(s_phi, s_phit, s_y, 15, k, 0.0042, mesh,
+                      x_star=QVec32(values=x_star, length=n))
+    tr = np.asarray(res.trace)
+    assert np.all(np.isfinite(tr))
+    assert tr[-1] < 0.6 * tr[0]
