@@ -271,6 +271,40 @@ class Validator:
                  for p, q in ((rd, gd_), (rs, gs_)))
         return self.check(f"mvm-i4  4x 4-bit {m}x{n}", ok)
 
+    def matrix_mvm_batched_i4(self, rng, m, n, b=4):
+        """Batched 4x4 int4 kernel (kernels/mvm_batched._kernel_4x4i4_b)
+        vs the packed batched kernel: bit-identical, det + SR (TPU
+        only)."""
+        import jax
+        from ..kernels.dispatch import pallas_enabled
+        from ..kernels.mvm import mat4_i4_stream, mvm_i4_enabled
+        from ..kernels.mvm_batched import (mvm_batched_pallas,
+                                           mvm_batched_pallas_eligible)
+        a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
+        qa = quantize(jnp.asarray(a), 4)
+        vs = [quantize(jnp.asarray(
+            rng.random(n, dtype=np.float32) * 2 - 1), 4)
+            for _ in range(b)]
+        xs = jax.tree.map(lambda *ar: jnp.stack(ar), *vs)
+        leaf = jax.tree_util.tree_leaves(xs)[0]
+        if not (pallas_enabled() and mvm_i4_enabled()
+                and mvm_batched_pallas_eligible(qa, leaf.shape, "4x4")):
+            return True
+
+        @jax.jit
+        def run(qa, xs, seed):
+            a4 = mat4_i4_stream(qa)
+            return (mvm_batched_pallas(qa, xs),
+                    mvm_batched_pallas(qa, xs, a_i4=a4),
+                    mvm_batched_pallas(qa, xs, key=seed),
+                    mvm_batched_pallas(qa, xs, key=seed, a_i4=a4))
+        rd, gd_, rs, gs_ = run(qa, xs, jnp.asarray([777], jnp.int32))
+        ok = all(np.array_equal(np.asarray(p.codes), np.asarray(q.codes))
+                 and np.array_equal(np.asarray(p.scales),
+                                    np.asarray(q.scales))
+                 for p, q in ((rd, gd_), (rs, gs_)))
+        return self.check(f"mvm-b-i4 4x 4-bit {m}x{n} B={b}", ok)
+
     def matrix_transpose(self, rng, bits, m, n):
         a = (rng.random((m, n), dtype=np.float32) * 2 - 1)
         q = quantize(jnp.asarray(a), bits)
@@ -332,6 +366,7 @@ def run_validation(full: bool = False, seed: int = 1, log=print,
             v.solver_iteration(rng, ba, bx, m, n)
             v.solver_chain(rng, ba, bx, m, n)
         v.matrix_mvm_i4(rng, m, n)
+        v.matrix_mvm_batched_i4(rng, m, n)
 
     log(f"\n{v.checks} checks, {v.failures} failures")
     return v.failures == 0

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import BLOCK, QVec4, QVec8
 from .dispatch import pallas_interpret, seed_from
-from .mvm import HALF, QMAX, _band_sr, _block_diag, _mode, _unoise
+from .mvm import (HALF, QMAX, _band_sr, _block_diag, _block_diag_i4,
+                  _mode, _unoise)
 
 MAX_BATCH = 32
 # Matmul output lanes to aim for: MXU cost scales with B*NB (= B*TK/64),
@@ -201,6 +202,45 @@ def _kernel_4x8_b(seed_ref, a_ref, xc_ref, csc_ref,
                     nb=nb, out_bits=out_bits, noise=noise, b=b, i=i)
 
 
+def _kernel_4x4i4_b(seed_ref, a_ref, xc_ref, csc_ref,
+                    ycodes_ref, yscales_ref, acc_ref, w_c, *,
+                    nb, tm, out_bits, noise, b):
+    """Batched 4x4 on the int4-array matrix stream (r5): one int4 MXU
+    matmul per tile against the B vectors' concatenated block-diagonal
+    int4 weights — half the issue slots of the two-plane int8 form,
+    which binds the batched kernel at B >= 8 (the matrix DMA is
+    amortized over the batch, so the matmuls are the cost).  Same
+    bit-identity argument as kernels/mvm._kernel_4x4_i4 (scale constant
+    1/49 vs 1/784: a power-of-two shift)."""
+    i, k = pl.program_id(0), pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i == 0)
+    def _():
+        ws = []
+        for j in range(b):
+            xp = xc_ref[j].astype(jnp.int32)
+            xhi = jax.lax.shift_right_arithmetic(xp, 4)
+            xlo = jnp.bitwise_and(xp, 15) - 8
+            ecodes = jnp.concatenate([xlo, xhi], axis=1)
+            ws.append(_block_diag_i4(ecodes, nb, BLOCK))
+        w_c[k] = jnp.concatenate(ws, axis=1)
+
+    dn = (((1,), (0,)), ((), ()))
+    mm = jax.lax.dot_general(a_ref[:], w_c[k], dn,
+                             preferred_element_type=jnp.int32)
+    _acc_update(acc_ref, mm.astype(jnp.float32), csc_ref, nb, tm, b)
+
+    @pl.when(k == nk - 1)
+    def _():
+        _epilogue_b(seed_ref, ycodes_ref, yscales_ref, acc_ref,
+                    nb=nb, out_bits=out_bits, noise=noise, b=b, i=i)
+
+
 def _kernel_8x8_b(seed_ref, a_ref, xc_ref, csc_ref,
                   ycodes_ref, yscales_ref, acc_ref, w_c, *,
                   nb, tm, out_bits, noise, b):
@@ -230,12 +270,13 @@ def _kernel_8x8_b(seed_ref, a_ref, xc_ref, csc_ref,
 @lru_cache(maxsize=64)
 def _build_call_b(mode: str, m_pad: int, n_pad: int, b: int,
                   out_bits: int, noise: bool, interpret: bool):
-    tm, tk = _pick_geometry_b(m_pad, n_pad, mode, b)
+    geo_mode = "4x4" if mode == "4x4i4" else mode
+    tm, tk = _pick_geometry_b(m_pad, n_pad, geo_mode, b)
     nb = tk // BLOCK
     gm, gk = m_pad // tm, n_pad // tk
-    pack = 2 if mode in ("4x4", "4x8") else 1
+    pack = 2 if mode in ("4x4", "4x8") else 1   # i4 = element width
     ka = tk // pack
-    xw = HALF if mode == "4x4" else BLOCK     # x codes width per block
+    xw = HALF if mode in ("4x4", "4x4i4") else BLOCK  # x codes width
     pck = HALF if out_bits == 4 else BLOCK
     out_dtype = jnp.float32 if out_bits == 32 else jnp.int8
 
@@ -263,9 +304,13 @@ def _build_call_b(mode: str, m_pad: int, n_pad: int, b: int,
     w_scr = pltpu.VMEM((gk, ka, b * nb), jnp.int8)
     cs_scr = pltpu.VMEM((gk, 1, b * nb), jnp.float32)
     core = {"4x4": _kernel_4x4_b, "4x8": _kernel_4x8_b,
-            "8x8": _kernel_8x8_b}[mode]
-    scratch = ([acc, w_scr, w_scr, cs_scr] if mode in ("4x4", "4x8")
-               else [acc, w_scr])
+            "8x8": _kernel_8x8_b, "4x4i4": _kernel_4x4i4_b}[mode]
+    if mode == "4x4i4":
+        scratch = [acc, pltpu.VMEM((gk, tk, b * nb), jnp.int4)]
+    elif mode in ("4x4", "4x8"):
+        scratch = [acc, w_scr, w_scr, cs_scr]
+    else:
+        scratch = [acc, w_scr]
     call = pl.pallas_call(
         partial(core, nb=nb, tm=tm, out_bits=out_bits, noise=noise, b=b),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -293,33 +338,46 @@ def mvm_batched_pallas_eligible(A, xs_leaf_shape, mode) -> bool:
     return _pick_geometry_b(A.rows_pad, A.cols_pad, mode, b) is not None
 
 
-def mvm_batched_pallas(A, xs, key=None):
+_SCALE_CONST_B = {"4x4": 1.0 / (7.0 * 7.0 * 16.0),
+                  "4x4i4": 1.0 / (7.0 * 7.0),
+                  "4x8": 1.0 / (7.0 * 127.0),
+                  "8x8": 1.0 / (127.0 * 127.0)}
+
+
+def mvm_batched_pallas(A, xs, key=None, a_i4=None):
     """Batched fused MVM.  ``xs`` is a quantized vector container whose
     arrays carry a leading batch dimension (as stacked by serving.py /
     ops.gemm.mvm_batched); returns a container with the same leading
-    batch dimension.  One matrix stream serves the whole batch."""
+    batch dimension.  One matrix stream serves the whole batch.
+
+    ``a_i4``: optional prepared kernels.mvm.mat4_i4_stream view of a
+    4-bit A — the batched matmuls (the binding cost at B >= 8) run at
+    the int4 MXU rate.  Only pays where the view amortizes inside one
+    jit (models/batch solver scans, bench chains); per-call serving
+    keeps the packed kernel (int4 cannot cross jit boundaries on this
+    build and the bitcast relayout measures ~25x a stream pass)."""
     mode = _mode(A, xs)          # container types carry the mode
     assert mode is not None, (type(A), type(xs))
     out_bits = {"4x4": 4, "4x8": 8, "8x8": 8}[mode]
+    use_i4 = a_i4 is not None and mode == "4x4"
+    kmode = "4x4i4" if use_i4 else mode
     b = jax.tree_util.tree_leaves(xs)[0].shape[0]
     m_pad, n_pad = A.rows_pad, A.cols_pad
     seed, noise = seed_from(key)
-    call, tm, tk = _build_call_b(mode, m_pad, n_pad, b, out_bits, noise,
+    call, tm, tk = _build_call_b(kmode, m_pad, n_pad, b, out_bits, noise,
                                  pallas_interpret())
     nb, gm, gk = tk // BLOCK, m_pad // tm, n_pad // tk
     nb_total = n_pad // BLOCK
     xw = HALF if mode == "4x4" else BLOCK
     xc = xs.codes.reshape(b, nb_total, xw)
     # host-precombined scales (see _acc_update): ~nb_total*B*4 bytes
-    const = {"4x4": 1.0 / (7.0 * 7.0 * 16.0),
-             "4x8": 1.0 / (7.0 * 127.0),
-             "8x8": 1.0 / (127.0 * 127.0)}[mode]
+    const = _SCALE_CONST_B[kmode]
     asc4 = (A.scales.reshape(gm, tm // BLOCK, gk, nb)
             .transpose(0, 2, 1, 3))                    # (gm, gk, bands, nb)
     xs3 = xs.scales.reshape(b, gk, nb).transpose(1, 0, 2)    # (gk, b, nb)
     csc = (asc4[:, :, :, None, :] * xs3[None, :, None, :, :]
            * const).reshape(gm, gk, tm // BLOCK, b * nb)
-    yc, ys = call(seed, A.codes, xc, csc)
+    yc, ys = call(seed, a_i4 if use_i4 else A.codes, xc, csc)
     pck = HALF if out_bits == 4 else BLOCK
     # (gm, tm/64, b*pck) -> per-vector flat codes (b, m_pad_codes)
     codes = (yc.reshape(gm, tm // BLOCK, b, pck)
@@ -329,30 +387,30 @@ def mvm_batched_pallas(A, xs, key=None):
     return out_cls(codes=codes, scales=scales, length=A.rows)
 
 
-def mvm_batched_pallas_f32(A, xs) -> jax.Array:
+def mvm_batched_pallas_f32(A, xs, a_i4=None) -> jax.Array:
     """Batched fused MVM in f32-output mode: f32[b, m_pad], no output
     requantization — the per-shard building block the sharded batched
     path psums BEFORE band requant (parallel/ops.mvm_batched_psum), the
     batched analog of kernels/mvm.mvm_pallas_f32."""
     mode = _mode(A, xs)
     assert mode is not None, (type(A), type(xs))
+    use_i4 = a_i4 is not None and mode == "4x4"
+    kmode = "4x4i4" if use_i4 else mode
     b = jax.tree_util.tree_leaves(xs)[0].shape[0]
     m_pad, n_pad = A.rows_pad, A.cols_pad
     seed, _ = seed_from(None)
-    call, tm, tk = _build_call_b(mode, m_pad, n_pad, b, 32, False,
+    call, tm, tk = _build_call_b(kmode, m_pad, n_pad, b, 32, False,
                                  pallas_interpret())
     nb, gm, gk = tk // BLOCK, m_pad // tm, n_pad // tk
     nb_total = n_pad // BLOCK
     xw = HALF if mode == "4x4" else BLOCK
     xc = xs.codes.reshape(b, nb_total, xw)
-    const = {"4x4": 1.0 / (7.0 * 7.0 * 16.0),
-             "4x8": 1.0 / (7.0 * 127.0),
-             "8x8": 1.0 / (127.0 * 127.0)}[mode]
+    const = _SCALE_CONST_B[kmode]
     asc4 = (A.scales.reshape(gm, tm // BLOCK, gk, nb)
             .transpose(0, 2, 1, 3))
     xs3 = xs.scales.reshape(b, gk, nb).transpose(1, 0, 2)
     csc = (asc4[:, :, :, None, :] * xs3[None, :, None, :, :]
            * const).reshape(gm, gk, tm // BLOCK, b * nb)
-    yv, _ = call(seed, A.codes, xc, csc)
+    yv, _ = call(seed, a_i4 if use_i4 else A.codes, xc, csc)
     return (yv.reshape(gm, tm // BLOCK, b, BLOCK)
             .transpose(2, 0, 1, 3).reshape(b, -1))

@@ -54,11 +54,14 @@ def _batch(qs):
     return jax.tree_util.tree_leaves(qs)[0].shape[0]
 
 
-def _iteration_b(Phi, PhiT, ys, xs, mu, k, seed, use_kernel):
+def _iteration_b(Phi, PhiT, ys, xs, mu, k, seed, use_kernel,
+                 a_i4s=(None, None)):
     k1, k2, k3, k4 = _op_seeds(seed)
-    t1 = mvm_batched(Phi, xs, key=k1, use_kernel=use_kernel)   # (B, m)
+    t1 = mvm_batched(Phi, xs, key=k1, use_kernel=use_kernel,
+                     a_i4=a_i4s[0])                            # (B, m)
     t2 = jax.vmap(lambda y, t: scale_and_add(y, t, -1.0, key=k2))(ys, t1)
-    t3 = mvm_batched(PhiT, t2, key=k3, use_kernel=use_kernel)  # (B, n)
+    t3 = mvm_batched(PhiT, t2, key=k3, use_kernel=use_kernel,
+                     a_i4=a_i4s[1])                            # (B, n)
     xs = jax.vmap(lambda x, t: scale_and_add(x, t, mu, key=k4))(xs, t3)
     if k is not None:
         xs = jax.vmap(lambda x: threshold(x, k))(xs)
@@ -74,10 +77,27 @@ def _solve_b(Phi, PhiT, ys, xs0, xs_star, iterations: int, k, mu, key,
         star_norm = jnp.linalg.norm(star32, axis=-1)
     seed0 = seed_from(key)[0] if key is not None else None
 
+    # pure-4-bit batches on the kernel path: hoist the int4 stream views
+    # of Phi/PhiT out of the scan (the batched matmuls, the binding cost
+    # at B >= 8, then run at the int4 MXU rate — bit-identical)
+    from ..formats import QMat4
+    from ..kernels.dispatch import pallas_enabled
+    from ..kernels.mvm import _mode, mat4_i4_stream, mvm_i4_enabled
+    from ..kernels.mvm_batched import mvm_batched_pallas_eligible
+    a_i4s = (None, None)
+    leaf = jax.tree_util.tree_leaves(xs0)[0]
+    uk = use_kernel if use_kernel is not None else True
+    if (uk and pallas_enabled() and mvm_i4_enabled()
+            and isinstance(Phi, QMat4) and _mode(Phi, xs0) == "4x4"
+            and mvm_batched_pallas_eligible(Phi, leaf.shape, "4x4")
+            and mvm_batched_pallas_eligible(PhiT, leaf.shape, "4x4")):
+        a_i4s = (mat4_i4_stream(Phi), mat4_i4_stream(PhiT))
+
     def body(xs, it):
         seed = (seed0 + it * jnp.int32(SEED_GOLD)
                 if seed0 is not None else None)
-        xs = _iteration_b(Phi, PhiT, ys, xs, mu, k, seed, use_kernel)
+        xs = _iteration_b(Phi, PhiT, ys, xs, mu, k, seed, use_kernel,
+                          a_i4s)
         if xs_star is not None:
             xh = jax.vmap(lambda x: restore_vec(x).values)(xs)
             err = jnp.linalg.norm(xh - star32, axis=-1) / star_norm

@@ -37,7 +37,8 @@ def _single_device(arr) -> bool:
         return True
 
 
-def mvm_batched(A, xs, key=None, use_kernel: bool | None = None):
+def mvm_batched(A, xs, key=None, use_kernel: bool | None = None,
+                a_i4=None):
     """Fused MVM over a batch of quantized vectors.
 
     ``xs`` is a quantized vector container whose arrays carry a leading
@@ -69,7 +70,7 @@ def mvm_batched(A, xs, key=None, use_kernel: bool | None = None):
         use_kernel = _single_device(A.codes)
     if pallas_enabled() and use_kernel:
         if mvm_batched_pallas_eligible(A, leaf.shape, mode):
-            return mvm_batched_pallas(A, xs, key=key)
+            return mvm_batched_pallas(A, xs, key=key, a_i4=a_i4)
         if leaf.shape[0] == 1:
             x0 = jax.tree.map(lambda a: a[0], xs)
             if mvm_pallas_eligible(A, x0):
