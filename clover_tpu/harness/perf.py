@@ -8,6 +8,8 @@ baseline — the reference's headline metrics (doc/results/performance.txt).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -123,18 +125,36 @@ def bench_mvm(log, sizes=MVM_SIZES):
             qA = ct.quantize(Aj, ba)
             qx = ct.quantize(xj, bx)
 
-            def make(iters):
+            def make(iters, i4=False):
                 @jax.jit
                 def g(qA, qx):
+                    a4 = None
+                    if i4:
+                        from ..kernels import mat4_i4_stream
+                        a4 = mat4_i4_stream(qA)   # hoisted out of the loop
                     def body(i, v):
-                        return ct.mvm(qA, v)
+                        return ct.mvm(qA, v, a_i4=a4)
                     out = jax.lax.fori_loop(0, iters, body, qx)
                     return jnp.sum(
                         out.scales if bx != 16 else
                         out.values.astype(jnp.float32) * 1e-30)
                 return lambda: float(g(qA, qx))
-            dt = chain_time(make)
-            _row(log, f"mvm {ba:2d}x{bx:2d}-bit n={n}", qA.nbytes, dt, t32)
+
+            # 4x4 headline = the shipped hot path (int4 stream view,
+            # prepared once — what solvers/bench run); the packed
+            # two-plane kernel is kept as its own transparency row
+            from ..kernels import mvm_i4_enabled
+            if (ba, bx) == (4, 4) and mvm_i4_enabled():
+                dt = chain_time(partial(make, i4=True))
+                _row(log, f"mvm {ba:2d}x{bx:2d}-bit n={n}", qA.nbytes,
+                     dt, t32)
+                dtp = chain_time(make)
+                _row(log, f"mvm 4x4 packed-kernel n={n}", qA.nbytes,
+                     dtp, t32)
+            else:
+                dt = chain_time(make)
+                _row(log, f"mvm {ba:2d}x{bx:2d}-bit n={n}", qA.nbytes,
+                     dt, t32)
 
 
 def bench_restore(log, sizes=VEC_SIZES):
