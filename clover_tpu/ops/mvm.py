@@ -129,7 +129,8 @@ def mvm_axpy(A, x, u, alpha, key_mvm=None, key_axpy=None, a_i4=None):
         return mvm_axpy_pallas(A, x, u, alpha, key_mvm, key_axpy,
                                a_i4=a_i4)
     from .axpy import scale_and_add
-    return scale_and_add(u, mvm(A, x, key=key_mvm), alpha, key=key_axpy)
+    return scale_and_add(u, mvm(A, x, key=key_mvm, a_i4=a_i4), alpha,
+                         key=key_axpy)
 
 
 def _out_bits(A, x) -> int:

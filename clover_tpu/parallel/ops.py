@@ -40,15 +40,17 @@ def axis_key(key, axis: str):
 
 
 def mvm_psum(A_local, x_local, reduce_axis: str, key, out_bits: int,
-             out_owner_axis: str):
+             out_owner_axis: str, a_i4=None):
     """Local fused-MVM partial -> psum over ``reduce_axis`` -> requantize.
 
     The psum happens BEFORE output requantization so every shard's band
     absmax sees the globally reduced values — the distributed version of
     CloverMatrix4.h:788-1083's band requant.  On TPU the per-shard
-    partial runs the fused Pallas kernel (mvm_f32_fast).
+    partial runs the fused Pallas kernel (mvm_f32_fast); ``a_i4`` is
+    the shard's prepared int4 stream view (kernels.mat4_i4_stream) so
+    multi-chip 4x4 legs ride the single-int4-matmul kernel.
     """
-    y32 = mvm_f32_fast(A_local, x_local)
+    y32 = mvm_f32_fast(A_local, x_local, a_i4=a_i4)
     y32 = jax.lax.psum(y32, reduce_axis)
     if out_bits == 32:
         return QVec32(values=y32, length=A_local.rows)

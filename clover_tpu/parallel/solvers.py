@@ -113,12 +113,30 @@ def _solve_sharded(qphi, qphit, qy, x0, x_star, iterations: int, k, mu,
         phi_ck = prepare_psum_chunks(phi, ck1) if ck1 > 1 else None
         phit_ck = prepare_psum_chunks(phit, ck2) if ck2 > 1 else None
 
-        def _psum_leg(A_l, x_l, axis, kk, bits_out, owner, ck, prep):
+        # pure-4-bit shards: int4 stream views of the LOCAL Phi/PhiT,
+        # hoisted out of the scan (same trick as models/solvers) so
+        # every multi-chip MVM leg runs the single-int4-matmul kernel
+        from ..formats import QMat4 as _QMat4
+        from ..kernels.dispatch import pallas_enabled as _pe
+        from ..kernels.mvm import mat4_i4_stream, mvm_i4_enabled
+        i4_phi = i4_phit = None
+        if (_pe() and mvm_i4_enabled() and isinstance(phi, _QMat4)
+                and y.bits == 4 and x_init.bits == 4):
+            i4_phi = mat4_i4_stream(phi)
+            i4_phit = mat4_i4_stream(phit)
+
+        def _psum_leg(A_l, x_l, axis, kk, bits_out, owner, ck, prep,
+                      a_i4=None):
             if ck > 1:
+                # the chunked containers are column slices — their int4
+                # views would need per-chunk relayouts; the overlapped
+                # path only engages for DCN-class links where the psum,
+                # not the matmul, is the cost
                 return mvm_psum_overlapped(A_l, x_l, axis, kk, bits_out,
                                            owner, chunks=ck,
                                            prepared=prep)
-            return mvm_psum(A_l, x_l, axis, kk, bits_out, owner)
+            return mvm_psum(A_l, x_l, axis, kk, bits_out, owner,
+                            a_i4=a_i4)
 
         def body(x, it):
             if seed0 is not None:
@@ -135,7 +153,8 @@ def _solve_sharded(qphi, qphit, qy, x0, x_star, iterations: int, k, mu,
                 # was (r3 VERDICT item 4).  threshold_global over one
                 # shard equals the local threshold.
                 from ..models.solvers import _iteration
-                x = _iteration(phi, phit, y, x, mu, k, base)
+                x = _iteration(phi, phit, y, x, mu, k, base,
+                               (i4_phi, i4_phit))
             else:
                 x = _decomposed(x, ks)
             if xs is not None:
@@ -152,18 +171,20 @@ def _solve_sharded(qphi, qphit, qy, x0, x_star, iterations: int, k, mu,
                 # epilogue (per-shard SR streams still folded by row)
                 t2 = mvm_axpy(phi, x, y, -1.0,
                               key_mvm=axis_key(ks[0], ROW),
-                              key_axpy=axis_key(ks[1], ROW))
+                              key_axpy=axis_key(ks[1], ROW),
+                              a_i4=i4_phi)
             else:
                 t1 = _psum_leg(phi, x, COL, ks[0], t_bits, ROW,
-                               ck1, phi_ck)
+                               ck1, phi_ck, a_i4=i4_phi)
                 t2 = scale_and_add(y, t1, -1.0, key=axis_key(ks[1], ROW))
             if R == 1:
                 x = mvm_axpy(phit, t2, x, mu,
                              key_mvm=axis_key(ks[2], COL),
-                             key_axpy=axis_key(ks[3], COL))
+                             key_axpy=axis_key(ks[3], COL),
+                             a_i4=i4_phit)
             else:
                 t3 = _psum_leg(phit, t2, ROW, ks[2], x_bits, COL,
-                               ck2, phit_ck)
+                               ck2, phit_ck, a_i4=i4_phit)
                 x = scale_and_add(x, t3, mu, key=axis_key(ks[3], COL))
             if k is not None:
                 x = threshold_global(x, k, COL)
