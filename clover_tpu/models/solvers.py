@@ -127,26 +127,32 @@ def _solve(Phi, PhiT, y, x0, x_star, iterations: int, k, mu, key):
     # the intermediate x never materializes, so no per-iteration error.
     from ..kernels.iteration import (iteration_chain_pallas,
                                      iteration_chain_pallas_eligible)
-    if (xs32 is None and iterations >= 2
+    # chain length: iterations per launch (r5 sweep: 4 edges 2 by ~2-6%
+    # — 54.3k vs 51.0k it/s at 2048x4096, 19.6k vs 19.2k at 4096x8192)
+    cl = max(2, int(os.environ.get("CLOVER_ITER_CHAIN_LEN", "4")))
+    if (xs32 is None and iterations >= cl
             and os.environ.get("CLOVER_ITER_CHAIN", "1") == "1"
             and pallas_enabled()
             and iteration_chain_pallas_eligible(Phi, PhiT, y, x0, k)):
-        def body2(x, it2):
+        def bodyc(x, itc):
             if seed0 is not None:
-                b0 = seed0 + (2 * it2) * jnp.int32(SEED_GOLD)
-                b1 = seed0 + (2 * it2 + 1) * jnp.int32(SEED_GOLD)
-                seeds8 = _op_seeds(b0) + _op_seeds(b1)
+                seeds = ()
+                for j in range(cl):
+                    b = seed0 + (cl * itc + j) * jnp.int32(SEED_GOLD)
+                    seeds = seeds + _op_seeds(b)
             else:
-                seeds8 = (None,) * 8
+                seeds = (None,) * (4 * cl)
             return (iteration_chain_pallas(Phi, PhiT, y, x, mu, k,
-                                           seeds8, a_i4s=a_i4s),
+                                           seeds, chain=cl,
+                                           a_i4s=a_i4s),
                     jnp.float32(0))
 
-        x, trace = jax.lax.scan(body2, x0,
-                                jnp.arange(iterations // 2,
+        x, trace = jax.lax.scan(bodyc, x0,
+                                jnp.arange(iterations // cl,
                                            dtype=jnp.int32))
-        if iterations % 2:           # odd tail: one unchained iteration
-            seed = (seed0 + (iterations - 1) * jnp.int32(SEED_GOLD)
+        for j in range(iterations % cl):     # tail: unchained iterations
+            it = (iterations // cl) * cl + j
+            seed = (seed0 + it * jnp.int32(SEED_GOLD)
                     if seed0 is not None else None)
             x = _iteration(Phi, PhiT, y, x, mu, k, seed, a_i4s)
         return SolveResult(x=x, trace=jnp.zeros(iterations, jnp.float32))
