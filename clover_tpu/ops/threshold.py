@@ -295,31 +295,30 @@ def _threshold4_xla(x, k: int):
 
 
 def _threshold4_hybrid(x, k: int):
-    """Large-n 4-bit threshold (r5): exact top-k selection on the
-    8x-compressed candidate multiset + integer-cutoff masking — no
-    per-element f32 materialization and no bisection.
+    """Large-n 4-bit threshold (r5): streaming histogram kernel ->
+    plane-structured tau selector on the 8x-compressed multiset ->
+    streaming mask kernel.  No per-element f32 materialization; the
+    bisection survives only as the verified selector's fallback.
+    Measured 63.8 us at 2^20 K=64 vs the r4 kernel's 91.9 / wide-view's
+    93.9; full decomposition and dead ends in
+    doc/results/threshold4_r5.md.
 
-    The r4 decomposition (doc/results/threshold4_r4.md §4) showed the
-    wide-view path spends ~25-30 us selecting tau (12 bisection levels)
-    and ~60-65 us on unpack/ev/mask/pack of n f32 elements.  Both
-    collapse on the compressed representation:
+    * selector: one ``lax.top_k`` over the nb block scales (4k-deep,
+      plane-eligibility masked) + a (7B x k) pairwise weighted count
+      gives a tau candidate; an EXACT verification on the compressed
+      counts accepts it or falls back to the compressed bisection
+      (details at the selector block below).  k > _HYBRID4_SEL_K goes
+      straight to the bisection.
+    * mask: |value| > tau per element, with the products c*(s_b/7)
+      computed with the same expression as the wide-view ev — kept
+      sets are bit-identical to _threshold4_xla.  On TPU the mask is
+      ONE kernel pass (kernels/threshold.mask4_pallas, golden-order tie
+      ranks in-kernel); the XLA fallback uses per-block integer
+      cutoffs + _rank_tie_mask.
 
-    * selector: the k-th largest |value| is one of the top-min(k, |C|)
-      ENTRIES of the candidate multiset C = {c * s_b/7 : h[b,c] > 0}
-      (entry weights >= 1, and fewer than k entries lie strictly above
-      tau), so one ``lax.top_k`` over |C| ~ n/9 values + a (k, k)
-      pairwise weighted count gives tau EXACTLY — no verification
-      needed, no n-element pass.
-    * mask: within a block, |value| > tau iff |code| > cut_b where
-      cut_b counts the magnitudes c with c*(s_b/7) <= tau — an int8
-      compare per element against a per-block byte; ties are
-      |code| == eqc_b.  The f32 products c*(s_b/7) are computed ONCE
-      PER (block, magnitude) with the same expression as the wide-view
-      ev, so kept sets are bit-identical to _threshold4_xla.
-
-    Tie ranking reuses _rank_tie_mask (padding elements rank after all
-    real ties and kept zero codes write 0, so no padding mask is
-    needed in the keep mask; n_eq itself counts real elements only).
+    Padding: padding elements rank after all real ties and kept zero
+    codes write 0, so no padding mask is needed in the keep mask;
+    n_eq itself counts real elements only.
     """
     from ..kernels import pallas_enabled
     from ..kernels.threshold import (hist4_geometry, hist4_pallas,
